@@ -1,0 +1,229 @@
+"""Frame IO: random-access directory readers, streaming cursor, synthetic frames.
+
+Capability parity with the reference ``wtracker/utils/frame_reader.py`` —
+``FrameReader`` (10-157), ``FrameStream`` (159-244) and ``DummyReader``
+(247-272, the no-video fake backend that lets the full simulator stack run
+without any data; auto-selected by the simulator in headless mode).
+
+TPU-minded addition: ``FrameReader.read_batch`` decodes many frames into one
+contiguous ``(N, H, W[, C])`` array so callers can ship whole cycles (or whole
+experiments) to the device in a single transfer instead of per-frame hops.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import cv2 as cv
+import numpy as np
+
+from wtracker_tpu.utils.path_utils import join_paths
+
+
+class FrameReader:
+    """Random-access reader over an ordered list of image files in a directory.
+
+    Args:
+        root_folder: directory holding the frame files.
+        frame_files: ordered file names (relative to ``root_folder``).
+        read_format: an OpenCV imread flag; grayscale by default.
+    """
+
+    def __init__(
+        self,
+        root_folder: str,
+        frame_files: list[str],
+        read_format: int = cv.IMREAD_GRAYSCALE,
+    ):
+        assert os.path.exists(root_folder)
+        assert len(frame_files) > 0
+
+        self._root_folder = root_folder
+        self._files = frame_files
+        self._read_format = read_format
+        self._frame_shape = self._extract_frame_shape()
+
+    def _extract_frame_shape(self) -> tuple[int, ...]:
+        frame = cv.imread(join_paths(self.root_folder, self.files[0]), self._read_format)
+        return frame.shape
+
+    @staticmethod
+    def create_from_template(
+        root_folder: str, name_format: str, read_format: int = cv.IMREAD_GRAYSCALE
+    ) -> "FrameReader":
+        """Build a reader from a ``name.format()``-style file template."""
+        fmt = name_format.format("[0-9]*")
+        paths = glob.glob(fmt, root_dir=root_folder)
+        paths = sorted(f for f in paths if os.path.isfile(join_paths(root_folder, f)))
+        return FrameReader(root_folder, paths, read_format)
+
+    @staticmethod
+    def create_from_directory(root_folder: str, read_format: int = cv.IMREAD_GRAYSCALE) -> "FrameReader":
+        """Build a reader from every file in a directory (sorted by name)."""
+        paths = glob.glob("*.*", root_dir=root_folder)
+        paths = sorted(f for f in paths if os.path.isfile(join_paths(root_folder, f)))
+        return FrameReader(root_folder, paths, read_format)
+
+    @property
+    def root_folder(self) -> str:
+        return self._root_folder
+
+    @property
+    def frame_shape(self) -> tuple[int, ...]:
+        """Full frame shape, ``(h, w)`` or ``(h, w, c)``."""
+        return self._frame_shape
+
+    @property
+    def frame_size(self) -> tuple[int, int]:
+        """Spatial frame size ``(h, w)``."""
+        return self._frame_shape[:2]
+
+    @property
+    def files(self) -> list[str]:
+        return self._files
+
+    @property
+    def read_format(self) -> int:
+        return self._read_format
+
+    def __len__(self) -> int:
+        return len(self._files)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        if idx < 0 or idx >= len(self._files):
+            raise IndexError("index out of bounds")
+        frame = cv.imread(join_paths(self.root_folder, self.files[idx]), self._read_format)
+        return frame.astype(np.uint8, copy=False)
+
+    def read_batch(self, indices: np.ndarray | list[int] | None = None) -> np.ndarray:
+        """Decode many frames into one contiguous uint8 array ``(N, *frame_shape)``."""
+        if indices is None:
+            indices = range(len(self))
+        out = np.empty((len(indices), *self._frame_shape), dtype=np.uint8)
+        for i, idx in enumerate(indices):
+            out[i] = self[int(idx)]
+        return out
+
+    def __iter__(self) -> "FrameStream":
+        return FrameStream(self)
+
+    def make_stream(self) -> "FrameStream":
+        """A fresh streaming cursor over this reader."""
+        return FrameStream(self)
+
+
+class FrameStream:
+    """A seekable iterator/cursor over a :class:`FrameReader`.
+
+    The cursor starts *before* the first frame (index -1); ``progress()`` or
+    iteration advances it.  ``read()`` caches the current frame until the
+    cursor moves.
+    """
+
+    def __init__(self, frame_reader: FrameReader):
+        self._frame_reader = frame_reader
+        self._idx = -1
+        self.frame: np.ndarray | None = None
+
+    @property
+    def index(self) -> int:
+        """Index of the current frame."""
+        return self._idx
+
+    def __len__(self) -> int:
+        return len(self._frame_reader)
+
+    def __iter__(self) -> "FrameStream":
+        return self
+
+    def __next__(self) -> np.ndarray:
+        self.progress()
+        if not self.can_read():
+            raise StopIteration()
+        return self.read()
+
+    def can_read(self) -> bool:
+        return 0 <= self._idx < len(self._frame_reader)
+
+    def seek(self, idx: int) -> bool:
+        """Move the cursor to ``idx``; returns whether a frame can be read there."""
+        self._idx = idx
+        self.frame = None
+        return self.can_read()
+
+    def read(self) -> np.ndarray:
+        """The frame at the cursor (cached until the cursor moves)."""
+        if not self.can_read():
+            raise IndexError("index out of bounds")
+        if self.frame is None:
+            self.frame = self._frame_reader[self._idx]
+        return self.frame
+
+    def progress(self, n: int = 1) -> bool:
+        """Advance the cursor by ``n`` frames."""
+        return self.seek(self._idx + n)
+
+    def reset(self) -> None:
+        """Rewind to before the first frame."""
+        self.seek(-1)
+
+
+class DummyReader(FrameReader):
+    """Synthetic reader producing constant white frames — the no-data backend.
+
+    Lets the whole simulator/controller/logging stack run with no video at all
+    (the reference's de-facto integration-test fixture).
+    """
+
+    def __init__(self, num_frames: int, resolution: tuple[int, int], colored: bool = True):
+        self.colored = colored
+        self._resolution = resolution
+        shape = (*resolution, 3) if colored else resolution
+        self._frame = np.full(shape, fill_value=255, dtype=np.uint8)
+
+        files = [str(i) for i in range(num_frames)]
+        super().__init__(".", frame_files=files)
+
+    def _extract_frame_shape(self) -> tuple[int, ...]:
+        return (*self._resolution, 3) if self.colored else self._resolution
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        if idx < 0 or idx >= len(self):
+            raise IndexError("index out of bounds")
+        return self._frame.copy()
+
+    def read_batch(self, indices=None) -> np.ndarray:
+        n = len(self) if indices is None else len(indices)
+        return np.broadcast_to(self._frame, (n, *self._frame.shape)).copy()
+
+
+class ArrayReader(FrameReader):
+    """Reader over an in-memory ``(N, H, W[, C])`` uint8 array.
+
+    TPU-native addition: experiments pre-decoded into contiguous memory (or
+    memory-mapped ``.npy``) feed the scan engine without per-frame decode cost.
+    """
+
+    def __init__(self, frames: np.ndarray):
+        assert frames.ndim in (3, 4)
+        self._frames = frames
+        files = [str(i) for i in range(frames.shape[0])]
+        super().__init__(".", frame_files=files)
+
+    def _extract_frame_shape(self) -> tuple[int, ...]:
+        return tuple(self._frames.shape[1:])
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        if idx < 0 or idx >= len(self):
+            raise IndexError("index out of bounds")
+        return np.asarray(self._frames[idx])
+
+    @property
+    def array(self) -> np.ndarray:
+        return self._frames
+
+    def read_batch(self, indices=None) -> np.ndarray:
+        if indices is None:
+            return np.asarray(self._frames)
+        return np.asarray(self._frames[np.asarray(indices, dtype=int)])
