@@ -12,6 +12,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var in this image; the
+# config update after import is what actually pins tests to the CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

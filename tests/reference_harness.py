@@ -1,0 +1,39 @@
+"""Import harness for the upstream reference implementation (golden oracle).
+
+The reference at /root/reference is used READ-ONLY as a behavioral oracle in
+parity tests: we run its Simulator/controllers on synthetic data and demand our
+rebuild produce identical logs.  Its unavailable heavy deps (ultralytics,
+mealpy) are stubbed since the code paths under test never touch them.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def import_reference():
+    """Make the reference ``wtracker`` package importable; returns its module."""
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+
+    if "ultralytics" not in sys.modules:
+        stub = types.ModuleType("ultralytics")
+        stub.YOLO = object  # only referenced in type annotations / YoloConfig
+        sys.modules["ultralytics"] = stub
+
+    import wtracker
+
+    return wtracker
+
+
+def make_reference_configs(exp_kwargs: dict, timing_kwargs: dict):
+    """Build reference ExperimentConfig/TimingConfig from plain kwargs."""
+    import_reference()
+    from wtracker.sim.config import ExperimentConfig, TimingConfig
+
+    exp = ExperimentConfig(**exp_kwargs)
+    timing = TimingConfig(experiment_config=exp, **timing_kwargs)
+    return exp, timing
