@@ -1,0 +1,133 @@
+"""YOLOv8 parity and behavior tests.
+
+The Flax detector + weight port are validated against an independent torch
+implementation of the same public architecture (tests/torch_yolo_ref.py) with
+random weights — the strongest parity check available while the reference's
+trained checkpoint blob is absent from the mount.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from tests.torch_yolo_ref import TorchYoloV8
+from wtracker_tpu.models.yolo_port import port_state_dict
+from wtracker_tpu.models.yolov8 import YoloV8, YoloV8Detector, decode_predictions, make_anchors
+
+
+def _randomize_bn(model: torch.nn.Module, gen: torch.Generator):
+    """Give BN layers non-trivial statistics so the port is actually tested."""
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.copy_(torch.randn(m.num_features, generator=gen) * 0.2)
+            m.running_var.copy_(torch.rand(m.num_features, generator=gen) * 2 + 0.5)
+            m.weight.data.copy_(torch.rand(m.num_features, generator=gen) + 0.5)
+            m.bias.data.copy_(torch.randn(m.num_features, generator=gen) * 0.1)
+
+
+@pytest.fixture(scope="module")
+def ported():
+    gen = torch.Generator().manual_seed(0)
+    tmodel = TorchYoloV8(nc=1, scale="n").eval()
+    with torch.no_grad():
+        _randomize_bn(tmodel, gen)
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    variables = port_state_dict(sd, prefix="model.")
+    fmodel = YoloV8(nc=1, scale="n")
+    return tmodel, fmodel, variables
+
+
+def test_full_network_parity(ported):
+    tmodel, fmodel, variables = ported
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, size=(2, 64, 64, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        tbox, tcls = tmodel(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+
+    fbox, fcls = fmodel.apply(variables, jnp.asarray(x), train=False)
+
+    for i in range(3):
+        t = np.transpose(tbox[i].numpy(), (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(fbox[i]), t, atol=2e-4, rtol=1e-3)
+        t = np.transpose(tcls[i].numpy(), (0, 2, 3, 1))
+        np.testing.assert_allclose(np.asarray(fcls[i]), t, atol=2e-4, rtol=1e-3)
+
+
+def test_anchors():
+    pts, strides = make_anchors((64, 64))
+    assert pts.shape == (8 * 8 + 4 * 4 + 2 * 2, 2)
+    # first stride-8 anchor center
+    np.testing.assert_allclose(pts[0], [0.5, 0.5])
+    np.testing.assert_allclose(strides[:64], 8)
+
+
+def test_dfl_decode_against_numpy():
+    rng = np.random.default_rng(1)
+    b, reg_max = 1, 16
+    imgsz = (64, 64)
+    n_anchors = 64 + 16 + 4
+    # synth per-scale logits
+    box_logits = [
+        jnp.asarray(rng.normal(size=(b, 8, 8, 4 * reg_max)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(b, 4, 4, 4 * reg_max)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(b, 2, 2, 4 * reg_max)).astype(np.float32)),
+    ]
+    cls_logits = [
+        jnp.asarray(rng.normal(size=(b, 8, 8, 1)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(b, 4, 4, 1)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(b, 2, 2, 1)).astype(np.float32)),
+    ]
+    boxes, scores = decode_predictions(box_logits, cls_logits, imgsz)
+    assert boxes.shape == (b, n_anchors, 4)
+    assert scores.shape == (b, n_anchors, 1)
+
+    # numpy oracle for one anchor
+    pts, strides = make_anchors(imgsz)
+    a = 10
+    logits = np.asarray(box_logits[0]).reshape(b, 64, 4, reg_max)[0, a]
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = e / e.sum(-1, keepdims=True)
+    ltrb = (probs * np.arange(reg_max)).sum(-1)
+    tl = (pts[a] - ltrb[:2]) * strides[a]
+    br = (pts[a] + ltrb[2:]) * strides[a]
+    np.testing.assert_allclose(np.asarray(boxes[0, a]), np.concatenate([tl, br]), atol=1e-4)
+
+    sc = 1 / (1 + np.exp(-np.asarray(cls_logits[0]).reshape(-1)[a]))
+    np.testing.assert_allclose(np.asarray(scores[0, a, 0]), sc, atol=1e-6)
+
+
+def test_detector_end_to_end_shapes():
+    det = YoloV8Detector.init_random(nc=1, scale="n", imgsz=(64, 64), conf=0.1, seed=0)
+    frames = np.random.default_rng(0).integers(0, 255, size=(3, 100, 120), dtype=np.uint8)
+    out = np.asarray(det.detect(frames))
+    assert out.shape == (3, 4)
+    # each row is either all-NaN or a finite bbox in source pixel coords
+    for row in out:
+        assert np.isnan(row).all() or np.isfinite(row).all()
+
+    # high conf threshold -> everything NaN
+    det_hi = YoloV8Detector(det.model, det.variables, imgsz=(64, 64), conf=1.1)
+    out_hi = np.asarray(det_hi.detect(frames))
+    assert np.isnan(out_hi).all()
+
+
+def test_detector_save_load_roundtrip(tmp_path):
+    det = YoloV8Detector.init_random(nc=1, scale="n", imgsz=(64, 64), seed=3)
+    path = str(tmp_path / "weights.npz")
+    det.save(path)
+    det2 = YoloV8Detector.load(path, imgsz=64)
+    frames = np.random.default_rng(1).integers(0, 255, size=(2, 64, 64), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(det.detect(frames)), np.asarray(det2.detect(frames))
+    )
+
+
+def test_scale_s_shapes():
+    det = YoloV8Detector.init_random(nc=1, scale="s", imgsz=(64, 64), seed=0)
+    n_params = sum(x.size for x in jax.tree.leaves(det.variables["params"]))
+    assert 10_000_000 < n_params < 12_000_000  # YOLOv8s ≈ 11.1M params

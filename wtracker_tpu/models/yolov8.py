@@ -1,0 +1,423 @@
+"""From-scratch Flax YOLOv8 detector (CSPDarknet + PAN + decoupled DFL head).
+
+TPU-native replacement for the ultralytics YOLO dependency used by the
+reference's live detection controller (yolo_controller.py:72-90: custom-trained
+YOLOv8s, ``imgsz 384/416``, ``conf 0.1``, ``max_det=1``).  Nothing here derives
+from ultralytics code — the architecture follows the public YOLOv8 description:
+
+* backbone: stem + 4 stages of stride-2 Conv + C2f (cross-stage partial blocks
+  with 2-conv bottlenecks), topped by SPPF;
+* neck: PAN — two top-down upsample/concat/C2f stages, two bottom-up
+  downsample/concat/C2f stages;
+* head: per-scale decoupled branches — box branch predicting 4×``reg_max``
+  distribution-focal logits, class branch predicting ``nc`` logits;
+* decode: DFL softmax expectation → ltrb distances from anchor centers at
+  strides (8, 16, 32) → xyxy.
+
+Design choices for TPU: NHWC layout end-to-end, bf16 compute with f32 params
+and f32 accumulation (MXU-friendly), all shapes static, single fused forward.
+``max_det=1`` makes NMS a score argmax (SURVEY.md §2c); a general batched NMS
+lives in :mod:`wtracker_tpu.ops.nms`.
+
+Weight port: :func:`load_ultralytics_state_dict` maps an ultralytics
+``model.model.{i}`` state-dict layout onto this module tree, so the
+reference's trained ``yolov8s_trained.pt`` drops in when available.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+# scale presets: (depth_multiple, width_multiple, max_channels)
+SCALES = {
+    "n": (1 / 3, 0.25, 1024),
+    "s": (1 / 3, 0.50, 1024),
+    "m": (2 / 3, 0.75, 768),
+    "l": (1.0, 1.00, 512),
+    "x": (1.0, 1.25, 512),
+}
+
+STRIDES = (8, 16, 32)
+
+
+def _make_divisible(x: float, divisor: int = 8) -> int:
+    return int(math.ceil(x / divisor) * divisor)
+
+
+class ConvBN(nn.Module):
+    """Conv2d + BatchNorm + SiLU — the basic YOLO conv block (NHWC)."""
+
+    out_ch: int
+    kernel: int = 1
+    stride: int = 1
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.kernel // 2
+        x = nn.Conv(
+            self.out_ch,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            use_bias=False,
+            dtype=self.compute_dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.97,  # torch BN momentum 0.03
+            epsilon=1e-3,
+            dtype=self.compute_dtype,
+            name="bn",
+        )(x)
+        return nn.silu(x)
+
+
+class Bottleneck(nn.Module):
+    """Two 3x3 ConvBN blocks with an optional residual."""
+
+    out_ch: int
+    shortcut: bool = True
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBN(self.out_ch, 3, compute_dtype=self.compute_dtype, name="cv1")(x, train)
+        y = ConvBN(self.out_ch, 3, compute_dtype=self.compute_dtype, name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.out_ch:
+            y = x + y
+        return y
+
+
+class C2f(nn.Module):
+    """Cross-stage-partial block: split, chain bottlenecks, concat, fuse."""
+
+    out_ch: int
+    n: int = 1
+    shortcut: bool = False
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = self.out_ch // 2
+        y = ConvBN(2 * hidden, 1, compute_dtype=self.compute_dtype, name="cv1")(x, train)
+        parts = [y[..., :hidden], y[..., hidden:]]
+        for i in range(self.n):
+            parts.append(
+                Bottleneck(hidden, self.shortcut, compute_dtype=self.compute_dtype, name=f"m_{i}")(
+                    parts[-1], train
+                )
+            )
+        y = jnp.concatenate(parts, axis=-1)
+        return ConvBN(self.out_ch, 1, compute_dtype=self.compute_dtype, name="cv2")(y, train)
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling (fast): 3 chained 5x5 max-pools, concatenated."""
+
+    out_ch: int
+    pool: int = 5
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = x.shape[-1] // 2
+        y = ConvBN(hidden, 1, compute_dtype=self.compute_dtype, name="cv1")(x, train)
+        pools = [y]
+        for _ in range(3):
+            pools.append(
+                nn.max_pool(
+                    pools[-1],
+                    (self.pool, self.pool),
+                    strides=(1, 1),
+                    padding=((self.pool // 2, self.pool // 2),) * 2,
+                )
+            )
+        return ConvBN(self.out_ch, 1, compute_dtype=self.compute_dtype, name="cv2")(
+            jnp.concatenate(pools, axis=-1), train
+        )
+
+
+class DetectHead(nn.Module):
+    """Decoupled per-scale head: box-distribution branch + class branch."""
+
+    nc: int
+    reg_max: int = 16
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        ch = [f.shape[-1] for f in feats]
+        c2 = max(16, ch[0] // 4, self.reg_max * 4)
+        c3 = max(ch[0], min(self.nc, 100))
+
+        box_out, cls_out = [], []
+        for i, f in enumerate(feats):
+            b = ConvBN(c2, 3, compute_dtype=self.compute_dtype, name=f"cv2_{i}_0")(f, train)
+            b = ConvBN(c2, 3, compute_dtype=self.compute_dtype, name=f"cv2_{i}_1")(b, train)
+            b = nn.Conv(4 * self.reg_max, (1, 1), dtype=self.compute_dtype, name=f"cv2_{i}_2")(b)
+
+            c = ConvBN(c3, 3, compute_dtype=self.compute_dtype, name=f"cv3_{i}_0")(f, train)
+            c = ConvBN(c3, 3, compute_dtype=self.compute_dtype, name=f"cv3_{i}_1")(c, train)
+            c = nn.Conv(self.nc, (1, 1), dtype=self.compute_dtype, name=f"cv3_{i}_2")(c)
+
+            box_out.append(b)
+            cls_out.append(c)
+        return box_out, cls_out
+
+
+class YoloV8(nn.Module):
+    """Full detector graph; returns per-scale (box_logits, cls_logits)."""
+
+    nc: int = 1
+    scale: str = "s"
+    reg_max: int = 16
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        depth, width, max_ch = SCALES[self.scale]
+
+        def chn(c):
+            return _make_divisible(min(c, max_ch) * width)
+
+        def rep(n):
+            return max(round(n * depth), 1)
+
+        dt = self.compute_dtype
+        x = x.astype(dt)
+
+        # backbone
+        x = ConvBN(chn(64), 3, 2, dt, name="b0")(x, train)  # /2
+        x = ConvBN(chn(128), 3, 2, dt, name="b1")(x, train)  # /4
+        x = C2f(chn(128), rep(3), True, dt, name="b2")(x, train)
+        x = ConvBN(chn(256), 3, 2, dt, name="b3")(x, train)  # /8
+        p3 = C2f(chn(256), rep(6), True, dt, name="b4")(x, train)
+        x = ConvBN(chn(512), 3, 2, dt, name="b5")(p3, train)  # /16
+        p4 = C2f(chn(512), rep(6), True, dt, name="b6")(x, train)
+        x = ConvBN(chn(1024), 3, 2, dt, name="b7")(p4, train)  # /32
+        x = C2f(chn(1024), rep(3), True, dt, name="b8")(x, train)
+        p5 = SPPF(chn(1024), 5, dt, name="b9")(x, train)
+
+        # PAN neck — top-down
+        def up2(t):
+            n, h, w, c = t.shape
+            return jax.image.resize(t, (n, h * 2, w * 2, c), method="nearest")
+
+        x = jnp.concatenate([up2(p5), p4], axis=-1)
+        n4 = C2f(chn(512), rep(3), False, dt, name="n12")(x, train)
+        x = jnp.concatenate([up2(n4), p3], axis=-1)
+        n3 = C2f(chn(256), rep(3), False, dt, name="n15")(x, train)  # /8 out
+
+        # bottom-up
+        x = ConvBN(chn(256), 3, 2, dt, name="n16")(n3, train)
+        x = jnp.concatenate([x, n4], axis=-1)
+        n4out = C2f(chn(512), rep(3), False, dt, name="n18")(x, train)  # /16 out
+        x = ConvBN(chn(512), 3, 2, dt, name="n19")(n4out, train)
+        x = jnp.concatenate([x, p5], axis=-1)
+        n5out = C2f(chn(1024), rep(3), False, dt, name="n21")(x, train)  # /32 out
+
+        return DetectHead(self.nc, self.reg_max, dt, name="head")([n3, n4out, n5out], train)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+def make_anchors(imgsz: tuple[int, int], strides: Sequence[int] = STRIDES, offset: float = 0.5):
+    """Anchor-center coordinates (in stride units) and per-anchor strides."""
+    points, strd = [], []
+    h, w = imgsz
+    for s in strides:
+        gh, gw = h // s, w // s
+        ys, xs = np.meshgrid(np.arange(gh) + offset, np.arange(gw) + offset, indexing="ij")
+        points.append(np.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1))
+        strd.append(np.full((gh * gw, 1), s, dtype=np.float32))
+    return np.concatenate(points, 0).astype(np.float32), np.concatenate(strd, 0)
+
+
+def decode_predictions(
+    box_logits: Sequence[jnp.ndarray],
+    cls_logits: Sequence[jnp.ndarray],
+    imgsz: tuple[int, int],
+    reg_max: int = 16,
+):
+    """DFL decode: (B, A, 4) xyxy boxes in input pixels + (B, A, nc) scores."""
+    b = box_logits[0].shape[0]
+    box_flat = jnp.concatenate([t.reshape(b, -1, 4 * reg_max) for t in box_logits], axis=1)
+    cls_flat = jnp.concatenate([t.reshape(b, -1, t.shape[-1]) for t in cls_logits], axis=1)
+
+    anchors, strides = make_anchors(imgsz)
+    anchors = jnp.asarray(anchors)
+    strides = jnp.asarray(strides)
+
+    dist = box_flat.reshape(b, -1, 4, reg_max).astype(jnp.float32)
+    bins = jnp.arange(reg_max, dtype=jnp.float32)
+    ltrb = jnp.sum(jax.nn.softmax(dist, axis=-1) * bins, axis=-1)  # (B, A, 4)
+
+    tl = (anchors[None] - ltrb[..., :2]) * strides[None]
+    br = (anchors[None] + ltrb[..., 2:]) * strides[None]
+    boxes = jnp.concatenate([tl, br], axis=-1)
+    scores = jax.nn.sigmoid(cls_flat.astype(jnp.float32))
+    return boxes, scores
+
+
+# ---------------------------------------------------------------------------
+# preprocessing (letterbox) and the end-to-end detector
+# ---------------------------------------------------------------------------
+
+
+def letterbox_params(src_hw: tuple[int, int], dst_hw: tuple[int, int]):
+    """Scale + padding of a ratio-preserving letterbox resize (pad value 114)."""
+    sh, sw = src_hw
+    dh, dw = dst_hw
+    scale = min(dh / sh, dw / sw)
+    new_h, new_w = round(sh * scale), round(sw * scale)
+    pad_top = (dh - new_h) // 2
+    pad_left = (dw - new_w) // 2
+    return scale, new_h, new_w, pad_top, pad_left
+
+
+def preprocess_batch(frames: jnp.ndarray, imgsz: tuple[int, int]) -> tuple[jnp.ndarray, tuple]:
+    """uint8 (B, H, W[, C]) frames → normalized letterboxed (B, h, w, 3) f32.
+
+    Grayscale inputs broadcast to 3 channels (the reference converts gray→BGR
+    before YOLO, yolo_controller.py:70).  Returns the tensor and the letterbox
+    geometry for mapping boxes back to source coordinates.
+    """
+    if frames.ndim == 3:
+        frames = frames[..., None]
+    if frames.shape[-1] == 1:
+        frames = jnp.broadcast_to(frames, (*frames.shape[:-1], 3))
+
+    src_hw = frames.shape[1:3]
+    scale, new_h, new_w, pad_top, pad_left = letterbox_params(src_hw, imgsz)
+
+    x = frames.astype(jnp.float32) / 255.0
+    x = jax.image.resize(x, (frames.shape[0], new_h, new_w, 3), method="bilinear")
+    x = jnp.pad(
+        x,
+        ((0, 0), (pad_top, imgsz[0] - new_h - pad_top), (pad_left, imgsz[1] - new_w - pad_left), (0, 0)),
+        constant_values=114 / 255.0,
+    )
+    return x, (scale, pad_top, pad_left)
+
+
+@dataclass
+class YoloV8Detector:
+    """End-to-end worm-head detector: preprocess → forward → decode → top-1.
+
+    Mirrors the reference's inference contract: best box above ``conf`` wins
+    (``max_det=1``), otherwise a NaN bbox; outputs are xywh in *source frame*
+    pixels (yolo_controller.py:80-90).
+    """
+
+    model: YoloV8
+    variables: dict
+    imgsz: tuple[int, int] = (384, 384)
+    conf: float = 0.1
+    _detect_fn: Callable = field(init=False, repr=False, default=None)
+
+    def __post_init__(self):
+        model, imgsz, conf = self.model, self.imgsz, self.conf
+
+        @jax.jit
+        def detect(variables, frames):
+            x, (scale, pad_top, pad_left) = preprocess_batch(frames, imgsz)
+            box_logits, cls_logits = model.apply(variables, x, train=False)
+            boxes, scores = decode_predictions(box_logits, cls_logits, imgsz, model.reg_max)
+
+            top = jnp.max(scores, axis=-1)  # (B, A) best class per anchor
+            idx = jnp.argmax(top, axis=-1)  # (B,) best anchor
+            best_score = jnp.take_along_axis(top, idx[:, None], axis=1)[:, 0]
+            best_box = jnp.take_along_axis(boxes, idx[:, None, None], axis=1)[:, 0]  # xyxy
+
+            # letterbox → source coordinates
+            xy = (best_box[:, :2] - jnp.array([pad_left, pad_top])) / scale
+            wh = (best_box[:, 2:] - best_box[:, :2]) / scale
+            out = jnp.concatenate([xy, wh], axis=-1)
+            return jnp.where((best_score >= conf)[:, None], out, jnp.nan)
+
+        object.__setattr__(self, "_detect_fn", detect)
+
+    def detect(self, frames) -> jnp.ndarray:
+        """(B, H, W[, C]) uint8 → (B, 4) xywh in source pixels; NaN = no hit."""
+        return self._detect_fn(self.variables, jnp.asarray(frames))
+
+    def raw(self, frames) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """All decoded boxes + scores (for general NMS / evaluation)."""
+        x, _ = preprocess_batch(jnp.asarray(frames), self.imgsz)
+        box_logits, cls_logits = self.model.apply(self.variables, x, train=False)
+        return decode_predictions(box_logits, cls_logits, self.imgsz, self.model.reg_max)
+
+    # -- construction ------------------------------------------------------
+
+    @staticmethod
+    def init_random(
+        nc: int = 1,
+        scale: str = "s",
+        imgsz: tuple[int, int] | int = (384, 384),
+        conf: float = 0.1,
+        compute_dtype=jnp.float32,
+        seed: int = 0,
+    ) -> "YoloV8Detector":
+        if isinstance(imgsz, int):
+            imgsz = (imgsz, imgsz)
+        model = YoloV8(nc=nc, scale=scale, compute_dtype=compute_dtype)
+        variables = model.init(
+            jax.random.PRNGKey(seed), jnp.zeros((1, *imgsz, 3), jnp.float32), train=False
+        )
+        return YoloV8Detector(model=model, variables=variables, imgsz=imgsz, conf=conf)
+
+    @staticmethod
+    def load(path: str, imgsz: int | tuple[int, int] = 384, conf: float = 0.1) -> "YoloV8Detector":
+        """Load weights from a Flax ``.npz``/msgpack export or an ultralytics .pt."""
+        if isinstance(imgsz, int):
+            imgsz = (imgsz, imgsz)
+        if str(path).endswith(".pt"):
+            from wtracker_tpu.models.yolo_port import load_ultralytics_checkpoint
+
+            return load_ultralytics_checkpoint(path, imgsz=imgsz, conf=conf)
+        data = np.load(path, allow_pickle=True)
+        meta = data["__meta__"].item()
+        flat = {k: data[k] for k in data.files if k != "__meta__"}
+        variables = _unflatten_dict(flat)
+        model = YoloV8(nc=meta["nc"], scale=meta["scale"])
+        return YoloV8Detector(model=model, variables=variables, imgsz=imgsz, conf=conf)
+
+    def save(self, path: str) -> None:
+        flat = _flatten_dict(jax.tree.map(np.asarray, self.variables))
+        flat["__meta__"] = np.array({"nc": self.model.nc, "scale": self.model.scale}, dtype=object)
+        np.savez(path, **flat)
+
+
+def _flatten_dict(tree: dict, prefix: str = "") -> dict:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten_dict(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+def _unflatten_dict(flat: dict) -> dict:
+    out: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(v)
+    return out
