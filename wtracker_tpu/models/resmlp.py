@@ -155,6 +155,67 @@ def make_rmlp_predictor(
 
 
 # ---------------------------------------------------------------------------
+# persistence (.npz)
+# ---------------------------------------------------------------------------
+
+
+def _flatten(tree: dict, prefix: str = "") -> dict:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else k
+        out.update(_flatten(v, key)) if isinstance(v, dict) else out.update({key: np.asarray(v)})
+    return out
+
+
+def _unflatten(flat: dict) -> dict:
+    out: dict = {}
+    for key, v in flat.items():
+        node = out
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(v)
+    return out
+
+
+def save_predictor(predictor: WormPredictor, path: str) -> None:
+    """Persist a predictor (topology + weights + IO contract) to ``.npz``."""
+    m = predictor.model
+    meta = dict(
+        block_in_dim=m.block_in_dim,
+        block_dims=list(m.block_dims),
+        block_nonlins=list(m.block_nonlins),
+        n_blocks=m.n_blocks,
+        out_dim=m.out_dim,
+        in_dim=m.in_dim,
+        batch_norm=m.batch_norm,
+        input_frames=list(predictor.io_config.input_frames),
+        pred_frames=list(predictor.io_config.pred_frames),
+    )
+    flat = _flatten(jax.tree.map(np.asarray, predictor.variables))
+    flat["__meta__"] = np.array(meta, dtype=object)
+    np.savez(path, **flat)
+
+
+def load_predictor(path: str) -> WormPredictor:
+    """Load a predictor saved by :func:`save_predictor`."""
+    data = np.load(path, allow_pickle=True)
+    meta = data["__meta__"].item()
+    variables = _unflatten({k: data[k] for k in data.files if k != "__meta__"})
+    model = RMLP(
+        block_in_dim=meta["block_in_dim"],
+        block_dims=tuple(meta["block_dims"]),
+        block_nonlins=tuple(meta["block_nonlins"]),
+        n_blocks=meta["n_blocks"],
+        out_dim=meta["out_dim"],
+        in_dim=meta["in_dim"],
+        batch_norm=meta["batch_norm"],
+    )
+    io_config = IOConfig(list(meta["input_frames"]), list(meta["pred_frames"]))
+    return WormPredictor(model=model, variables=variables, io_config=io_config)
+
+
+# ---------------------------------------------------------------------------
 # torch checkpoint port
 # ---------------------------------------------------------------------------
 
