@@ -24,6 +24,21 @@ def import_reference():
         stub.YOLO = object  # only referenced in type annotations / YoloConfig
         sys.modules["ultralytics"] = stub
 
+    # the reference's vlc.py force-switches matplotlib to a Qt backend, which
+    # this headless image lacks — redirect any Qt backend request to Agg
+    import matplotlib
+
+    if not getattr(matplotlib, "_wt_use_patched", False):
+        _orig_use = matplotlib.use
+
+        def _use(backend, *a, **k):
+            if "qt" in str(backend).lower():
+                backend = "Agg"
+            return _orig_use(backend, *a, **k)
+
+        matplotlib.use = _use
+        matplotlib._wt_use_patched = True
+
     import wtracker
 
     return wtracker

@@ -1,0 +1,195 @@
+"""Tracking-error metrics: bbox, MSE, and segmentation-based precise error.
+
+Capability parity with the reference ``wtracker/eval/error_calculator.py`` —
+``calculate_segmentation`` (20-58), ``calculate_precise`` (63-161),
+``calculate_bbox_error`` (163-195) and ``calculate_mse_error`` (197-212), plus
+the injectable ``probe_hook`` test seam (16-17).
+
+The reference computes the precise error with a per-frame python loop of
+OpenCV ops (its own TODO flags it as slow, error_calculator.py:60-62).  Here
+the same math also exists as a batched jit kernel
+(:func:`precise_error_batched`): worm crops are padded to a fixed tile, masked,
+and the segmentation + intersection reduce runs vmapped on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import numpy as np
+from tqdm.auto import tqdm
+
+from wtracker_tpu.utils import bbox as bb
+from wtracker_tpu.utils.bbox import BoxFormat
+from wtracker_tpu.utils.frame_reader import FrameReader
+
+
+class ErrorCalculator:
+    """Static methods computing per-frame tracking errors."""
+
+    probe_hook: Callable[[np.ndarray, np.ndarray], None] = None
+    """Optional callback receiving (worm_view, segmentation_mask) per frame —
+    the reference's only purpose-built test seam."""
+
+    @staticmethod
+    def calculate_segmentation(
+        bbox: np.ndarray,
+        image: np.ndarray,
+        background: np.ndarray,
+        diff_thresh: float,
+    ) -> np.ndarray:
+        """Foreground mask of a worm view vs the matching background window."""
+        x, y, w, h = bbox
+        assert image.shape[:2] == (h, w)
+
+        bg_view = background[y : y + h, x : x + w]
+        diff = np.abs(image.astype(np.int32) - bg_view.astype(np.int32)).astype(np.uint8)
+
+        if diff.ndim == 3 and diff.shape[2] == 3:
+            # BGR→gray with OpenCV weights
+            diff = (0.114 * diff[..., 0] + 0.587 * diff[..., 1] + 0.299 * diff[..., 2]).round().astype(np.uint8)
+        if diff.ndim != 2:
+            raise ValueError("Image must be either a gray or a color image.")
+
+        return diff > diff_thresh
+
+    @staticmethod
+    def calculate_precise(
+        background: np.ndarray,
+        worm_bboxes: np.ndarray,
+        mic_bboxes: np.ndarray,
+        frame_nums: np.ndarray,
+        worm_reader: FrameReader,
+        diff_thresh: float = 10,
+    ) -> np.ndarray:
+        """Fraction of segmented worm pixels outside the microscope view.
+
+        ``worm_reader`` returns, per frame number, the worm view cropped to the
+        matching (discretized) worm bbox.  Illegal/missing bboxes yield NaN.
+        """
+        assert frame_nums.ndim == 1
+        assert len(frame_nums) == worm_bboxes.shape[0] == mic_bboxes.shape[0]
+
+        errors = np.zeros(len(frame_nums), dtype=float)
+        bounds = background.shape[:2]
+
+        worm_bboxes, is_legal = bb.discretize(worm_bboxes, bounds=bounds, box_format=BoxFormat.XYWH)
+        mic_bboxes, _ = bb.discretize(mic_bboxes, bounds=bounds, box_format=BoxFormat.XYWH)
+
+        errors[~is_legal] = np.nan
+        worm_bboxes = worm_bboxes[is_legal]
+        mic_bboxes = mic_bboxes[is_legal]
+        frame_nums = frame_nums[is_legal]
+
+        # intersection of worm and microscope boxes, in worm-view coordinates
+        wrm_xyxy = bb.to_xyxy(worm_bboxes, BoxFormat.XYWH)
+        mic_xyxy = bb.to_xyxy(mic_bboxes, BoxFormat.XYWH)
+        int_tl = np.maximum(wrm_xyxy[:, :2], mic_xyxy[:, :2])
+        int_br = np.minimum(wrm_xyxy[:, 2:], mic_xyxy[:, 2:])
+        int_wh = np.maximum(int_br - int_tl, 0)
+        int_tl -= wrm_xyxy[:, :2]
+
+        out_idx = np.flatnonzero(is_legal)
+        for i, frame_num in tqdm(
+            enumerate(frame_nums), total=len(frame_nums), desc="Calculating Error", unit="fr", disable=len(frame_nums) < 500
+        ):
+            worm_view = worm_reader[frame_num]
+            mask_wrm = ErrorCalculator.calculate_segmentation(
+                bbox=worm_bboxes[i], image=worm_view, background=background, diff_thresh=diff_thresh
+            )
+
+            if ErrorCalculator.probe_hook is not None:
+                ErrorCalculator.probe_hook(worm_view, mask_wrm)
+
+            mask_mic = np.zeros_like(mask_wrm, dtype=bool)
+            mask_mic[int_tl[i, 1] : int_tl[i, 1] + int_wh[i, 1], int_tl[i, 0] : int_tl[i, 0] + int_wh[i, 0]] = True
+
+            total = mask_wrm.sum()
+            if total == 0:
+                errors[out_idx[i]] = 0.0
+                continue
+            intersection = np.logical_and(mask_wrm, mask_mic).sum()
+            errors[out_idx[i]] = 1.0 - intersection / total
+
+        return errors
+
+    @staticmethod
+    def calculate_bbox_error(worm_bboxes: np.ndarray, mic_bboxes: np.ndarray) -> np.ndarray:
+        """Fraction of the worm bbox area outside the microscope bbox."""
+        wrm = bb.to_xyxy(np.asarray(worm_bboxes, dtype=float), BoxFormat.XYWH)
+        mic = bb.to_xyxy(np.asarray(mic_bboxes, dtype=float), BoxFormat.XYWH)
+
+        int_tl = np.maximum(wrm[..., :2], mic[..., :2])
+        int_br = np.minimum(wrm[..., 2:], mic[..., 2:])
+        int_wh = np.maximum(int_br - int_tl, 0)
+
+        intersection = int_wh[..., 0] * int_wh[..., 1]
+        total = np.asarray(worm_bboxes)[..., 2] * np.asarray(worm_bboxes)[..., 3]
+
+        with np.errstate(invalid="ignore", divide="ignore"):
+            errors = 1.0 - intersection / total
+        errors = np.asarray(errors)
+        errors[total == 0] = 0.0
+        return errors
+
+    @staticmethod
+    def calculate_mse_error(worm_bboxes: np.ndarray, mic_bboxes: np.ndarray) -> np.ndarray:
+        """Mean squared distance between worm and microscope centers."""
+        worm_centers = bb.center(np.asarray(worm_bboxes, dtype=float))
+        mic_centers = bb.center(np.asarray(mic_bboxes, dtype=float))
+        return np.mean((worm_centers - mic_centers) ** 2, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# batched device kernel
+# ---------------------------------------------------------------------------
+
+
+def precise_error_batched(
+    worm_views: np.ndarray,
+    bg_views: np.ndarray,
+    view_hw: np.ndarray,
+    int_tlwh: np.ndarray,
+    diff_thresh: float = 10,
+):
+    """Batched precise error on device.
+
+    All views are padded to one fixed tile shape; per-view masks carve out the
+    valid region, so the whole batch is a single fused elementwise+reduce.
+
+    Args:
+        worm_views: (N, H, W) uint8 worm crops (padded).
+        bg_views: (N, H, W) uint8 matching background crops (padded).
+        view_hw: (N, 2) int — valid (h, w) of each crop.
+        int_tlwh: (N, 4) int — micro∩worm rectangle in view coords (x, y, w, h).
+        diff_thresh: foreground threshold.
+
+    Returns:
+        (N,) f32 errors (fraction of worm pixels outside the micro view).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def kernel(worm_views, bg_views, view_hw, int_tlwh):
+        H, W = worm_views.shape[1:3]
+        ys = jnp.arange(H)[None, :, None]
+        xs = jnp.arange(W)[None, None, :]
+
+        valid = (ys < view_hw[:, 0, None, None]) & (xs < view_hw[:, 1, None, None])
+        diff = jnp.abs(worm_views.astype(jnp.int32) - bg_views.astype(jnp.int32))
+        mask_wrm = (diff > diff_thresh) & valid
+
+        x0 = int_tlwh[:, 0, None, None]
+        y0 = int_tlwh[:, 1, None, None]
+        in_mic = (xs >= x0) & (xs < x0 + int_tlwh[:, 2, None, None]) & (ys >= y0) & (
+            ys < y0 + int_tlwh[:, 3, None, None]
+        )
+
+        total = jnp.sum(mask_wrm, axis=(1, 2))
+        inter = jnp.sum(mask_wrm & in_mic, axis=(1, 2))
+        err = 1.0 - inter / jnp.maximum(total, 1)
+        return jnp.where(total == 0, 0.0, err).astype(jnp.float32)
+
+    return kernel(jnp.asarray(worm_views), jnp.asarray(bg_views), jnp.asarray(view_hw), jnp.asarray(int_tlwh))
