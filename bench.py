@@ -1,0 +1,104 @@
+"""Headline benchmark: closed-loop sim steps/sec/chip (YOLOv8s@416 + ResMLP).
+
+Runs the full live tracking loop — on-device synthetic microscopy rendering,
+YOLOv8s detection of every frame at 416 px (bf16), ResMLP movement prediction,
+sine-motor platform control — as stream-batched `lax.scan` cycles on one chip,
+and reports steps (frames) per second against the 5,000/s/chip target
+(BASELINE.json).
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    os.environ.setdefault("WTRACKER_TPU_NO_X64", "")  # keep x64 default
+
+    import jax
+    import jax.numpy as jnp
+
+    import wtracker_tpu  # noqa: F401  (enables x64)
+    from wtracker_tpu.models.resmlp import load_torch_checkpoint, make_rmlp_predictor
+    from wtracker_tpu.models.yolov8 import YoloV8
+    from wtracker_tpu.neural.config import IOConfig
+    from wtracker_tpu.sim.config import ExperimentConfig, TimingConfig
+    from wtracker_tpu.sim.engine import EngineParams, headless_frame_shape, run_engine_streams
+    from wtracker_tpu.sim.engine_live import LiveLoopConfig, make_stream_batch
+    from wtracker_tpu.sim.synthetic import SyntheticScene, make_trajectory
+
+    # reference experiment geometry (experiments/exp0): 60 fps, 1400x1600 px,
+    # 4x4 mm camera (360 px), default timing 200/40/50 ms -> 15-frame cycles
+    exp = ExperimentConfig("bench", 60_000, 60, (1400, 1600), 90, (700, 700))
+    timing = TimingConfig(
+        experiment_config=exp,
+        imaging_time_ms=200.0,
+        pred_time_ms=40.0,
+        moving_time_ms=50.0,
+        camera_size_mm=(4.0, 4.0),
+        micro_size_mm=(0.32, 0.32),
+    )
+    params = EngineParams.from_timing(timing, headless_frame_shape(timing, exp.orig_resolution))
+
+    S = int(os.environ.get("BENCH_STREAMS", "24"))
+    N_CYCLES = int(os.environ.get("BENCH_CYCLES", "12"))
+    REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+
+    # flagship models: YOLOv8s @416 bf16 + the reference's shipped ResMLP
+    det_model = YoloV8(nc=1, scale="s", compute_dtype=jnp.bfloat16)
+    det_vars = det_model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 416, 416, 3), jnp.float32), train=False
+    )
+
+    resmlp_path = "/root/reference/models/ResMLP(imaging-200ms_pred-40ms_moving-50ms).pt"
+    if os.path.exists(resmlp_path):
+        predictor = load_torch_checkpoint(resmlp_path, reference_root="/root/reference")
+    else:  # fall back to a fresh predictor with the same topology
+        predictor = make_rmlp_predictor(IOConfig([0, -3, -6, -9, -12], [3]))
+
+    arena = (1400, 1600)
+    trajs = np.stack([make_trajectory(60_000, arena, seed=i) for i in range(S)])
+    cfg = LiveLoopConfig(
+        imgsz=(416, 416),
+        conf=0.1,
+        ring_size=64,
+        log_mode=True,  # detect EVERY frame, like the logging reference loop
+        max_dist_per_pred=54.0,
+    )
+    ctl = make_stream_batch(params, cfg, SyntheticScene(), trajs, det_model, det_vars, predictor)
+    init_pos = np.tile([700, 700], (S, 1))
+
+    # warmup (compile) — fetch a value to force full execution
+    logs = run_engine_streams(params, ctl, init_pos, N_CYCLES)
+    _ = float(jnp.sum(logs.positions))
+
+    t0 = time.perf_counter()
+    for _ in range(REPEATS):
+        logs = run_engine_streams(params, ctl, init_pos, N_CYCLES)
+        _ = float(jnp.sum(logs.positions))  # forced device fetch per repeat
+    dt = (time.perf_counter() - t0) / REPEATS
+
+    steps = S * N_CYCLES * params.cycle_n
+    steps_per_sec = steps / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "closed-loop sim steps/sec/chip (YOLOv8s@416+ResMLP, every frame detected)",
+                "value": round(steps_per_sec, 1),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_sec / 5000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Live-loop tests: synthetic renderer, hybrid YOLO+MLP engine controller."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from wtracker_tpu.sim.config import ExperimentConfig, TimingConfig
+from wtracker_tpu.sim.engine import EngineParams, headless_frame_shape, logs_to_frame, run_engine, run_engine_streams
+from wtracker_tpu.sim.engine_live import LiveLoopConfig, hybrid_yolo_mlp_controller, make_stream_batch
+from wtracker_tpu.sim.synthetic import SyntheticScene, make_trajectory
+
+from tests.synthetic import EXP_KWARGS, TIMING_KWARGS
+
+
+@pytest.fixture(scope="module")
+def setup():
+    exp = ExperimentConfig(**EXP_KWARGS)
+    timing = TimingConfig(experiment_config=exp, **TIMING_KWARGS)
+    params = EngineParams.from_timing(timing, headless_frame_shape(timing, exp.orig_resolution))
+    return exp, timing, params
+
+
+def test_renderer_basic():
+    scene = SyntheticScene()
+    view = np.asarray(scene.render_view(jnp.array([50.0, 40.0]), jnp.array([20.0, 10.0]), (64, 80), 0))
+    assert view.shape == (64, 80)
+    assert view.min() >= 0 and view.max() <= 255
+    # worm blob is the brightest spot and sits at (50-20, 40-10) in view coords
+    peak = np.unravel_index(np.argmax(view), view.shape)
+    assert abs(peak[0] - 30) <= 1 and abs(peak[1] - 30) <= 1
+
+    # batched rendering matches single
+    views = np.asarray(
+        scene.render_views(
+            jnp.array([[50.0, 40.0]]), jnp.array([[20.0, 10.0]]), (64, 80), jnp.array([0])
+        )
+    )
+    np.testing.assert_allclose(views[0], view)
+
+
+def test_trajectory_in_bounds():
+    traj = make_trajectory(2000, (500, 600), seed=1)
+    assert traj.shape == (2000, 2)
+    assert (traj[:, 0] >= 0).all() and (traj[:, 0] < 600).all()
+    assert (traj[:, 1] >= 0).all() and (traj[:, 1] < 500).all()
+    # it actually moves
+    assert np.hypot(*(traj[-1] - traj[0])) + np.abs(np.diff(traj, axis=0)).sum() > 100
+
+
+def _tiny_predictor():
+    from wtracker_tpu.models.resmlp import make_rmlp_predictor
+    from wtracker_tpu.neural.config import IOConfig
+
+    io = IOConfig(input_frames=[0, -2, -4], pred_frames=[3])
+    return make_rmlp_predictor(io, block_in_dim=8, block_dims=(8,), n_blocks=1, seed=0)
+
+
+def _tiny_detector():
+    from wtracker_tpu.models.yolov8 import YoloV8
+
+    import jax
+
+    model = YoloV8(nc=1, scale="n")
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+    return model, variables
+
+
+def test_live_loop_runs_and_logs(setup):
+    exp, timing, params = setup
+    scene = SyntheticScene()
+    traj = make_trajectory(400, (500, 600), seed=0)
+    model, variables = _tiny_detector()
+    predictor = _tiny_predictor()
+
+    cfg = LiveLoopConfig(imgsz=(64, 64), conf=0.0, ring_size=32, log_mode=True, max_dist_per_pred=20.0)
+    ctl = hybrid_yolo_mlp_controller(params, cfg, scene, traj, model, variables, predictor)
+
+    n_cycles = 8
+    logs = run_engine(params, ctl, exp.init_position, n_cycles)
+    df = logs_to_frame(params, logs)
+    assert len(df) == n_cycles * params.cycle_n
+    # with conf=0 every frame gets a (possibly wrong) detection -> no zero rows
+    assert np.isfinite(df[["wrm_x", "wrm_y", "wrm_w", "wrm_h"]].to_numpy()).all()
+    # positions stay inside the clamp bounds
+    assert df.plt_x.between(0, params.frame_w - 1).all()
+    assert df.plt_y.between(0, params.frame_h - 1).all()
+
+
+def test_live_loop_stream_batch(setup):
+    exp, timing, params = setup
+    scene = SyntheticScene()
+    S = 3
+    trajs = np.stack([make_trajectory(400, (500, 600), seed=i) for i in range(S)])
+    model, variables = _tiny_detector()
+    predictor = _tiny_predictor()
+
+    cfg = LiveLoopConfig(imgsz=(64, 64), conf=0.0, ring_size=32, log_mode=False, max_dist_per_pred=20.0)
+    ctl = make_stream_batch(params, cfg, scene, trajs, model, variables, predictor)
+
+    init_pos = np.tile(np.asarray(exp.init_position), (S, 1))
+    logs = run_engine_streams(params, ctl, init_pos, n_cycles=5)
+    assert logs.positions.shape == (5, S, params.cycle_n, 2)
+    assert logs.worm_bboxes.shape == (5, S, params.cycle_n, 4)
+
+    # stream 0 of the batch equals the single-stream run (same trajectory)
+    single = run_engine(
+        params,
+        hybrid_yolo_mlp_controller(params, cfg, scene, trajs[0], model, variables, predictor),
+        exp.init_position,
+        5,
+    )
+    np.testing.assert_array_equal(np.asarray(logs.positions[:, 0]), np.asarray(single.positions))
+    np.testing.assert_allclose(
+        np.asarray(logs.worm_bboxes[:, 0]), np.asarray(single.worm_bboxes), atol=1e-5, equal_nan=True
+    )

@@ -1,0 +1,119 @@
+"""Multi-chip tests on the simulated 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from tests.synthetic import EXP_KWARGS, TIMING_KWARGS
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from wtracker_tpu.sim.config import ExperimentConfig, TimingConfig
+    from wtracker_tpu.sim.engine import EngineParams, headless_frame_shape
+
+    exp = ExperimentConfig(**EXP_KWARGS)
+    timing = TimingConfig(experiment_config=exp, **TIMING_KWARGS)
+    params = EngineParams.from_timing(timing, headless_frame_shape(timing, exp.orig_resolution))
+    return exp, timing, params
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8  # conftest forces the CPU mesh
+
+
+def test_sharded_engine_matches_unsharded(setup):
+    """Engine results are identical whether streams run on 1 or 8 devices."""
+    import pandas as pd
+
+    from wtracker_tpu.parallel import make_mesh, run_engine_sharded
+    from wtracker_tpu.sim.engine import csv_controller, run_engine_streams
+
+    exp, timing, params = setup
+    S = 8
+    rng = np.random.default_rng(0)
+
+    n = 480
+    pos = np.cumsum(rng.normal(0.2, 1.0, (S, n, 2)), axis=1) + 250
+    csvs = np.concatenate(
+        [pos - 5, np.full((S, n, 2), 10.0)], axis=-1
+    )  # (S, n, 4) xywh
+
+    # per-stream controller: state carries each stream's csv
+    import jax.numpy as jnp
+
+    from wtracker_tpu.sim.engine import CycleController, DecideCtx, _gather_rows
+
+    base = csv_controller(csvs[0], params)
+
+    def init():
+        return {"csv": jnp.asarray(csvs, dtype=jnp.float64)}
+
+    def decide(state, ctx):
+        # same math as csv_controller but reading from carried state
+        f = ctx.cycle * params.cycle_n + params.imaging_n
+        bbox = _gather_rows(state["csv"], f - params.pred_n)
+        cam_tl = jnp.stack(
+            [ctx.position[0] - params.cam_w // 2, ctx.position[1] - params.cam_h // 2]
+        )
+        rel_xy = bbox[:2] - cam_tl
+        center = rel_xy + bbox[2:] / 2
+        target = center - jnp.array([params.cam_w / 2, params.cam_h / 2])
+        valid = jnp.isfinite(bbox).all()
+        return state, jnp.where(valid, jnp.round(target), 0.0).astype(jnp.int32)
+
+    def predict_all(state, cycle_idx, positions):
+        idx = cycle_idx * params.cycle_n + jnp.arange(params.cycle_n)
+        return _gather_rows(state["csv"], idx)
+
+    ctl = CycleController(init=init, decide=decide, predict_all=predict_all)
+
+    init_pos = np.tile(np.asarray(exp.init_position), (S, 1))
+    n_cycles = 20
+
+    plain = run_engine_streams(params, ctl, init_pos, n_cycles)
+
+    mesh = make_mesh(8)
+    sharded = run_engine_sharded(params, ctl, init_pos, n_cycles, mesh)
+
+    np.testing.assert_array_equal(np.asarray(sharded.positions), np.asarray(plain.positions))
+    np.testing.assert_allclose(
+        np.asarray(sharded.worm_bboxes), np.asarray(plain.worm_bboxes), equal_nan=True
+    )
+
+    # verify the data is actually distributed
+    shards = sharded.positions.addressable_shards
+    assert len(shards) == 8
+    assert shards[0].data.shape[1] == 1  # S=8 split 8 ways
+
+
+def test_dp_train_step(setup):
+    import jax.numpy as jnp
+    import optax
+
+    from wtracker_tpu.models.resmlp import make_rmlp_predictor
+    from wtracker_tpu.neural.config import IOConfig
+    from wtracker_tpu.parallel import make_dp_train_step, make_mesh
+
+    io = IOConfig(input_frames=[0, -2], pred_frames=[2])
+    predictor = make_rmlp_predictor(io, block_in_dim=8, block_dims=(8,), n_blocks=1, batch_norm=False, seed=0)
+
+    mesh = make_mesh(8, axis="data")
+    tx = optax.adam(1e-3)
+    loss_fn = lambda p, y: ((p - y) ** 2).mean()
+    step = make_dp_train_step(predictor.model, tx, loss_fn, mesh)
+
+    params = predictor.variables["params"]
+    opt_state = tx.init(params)
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(64, io.in_dim)).astype(np.float32)
+    y = rng.normal(size=(64, io.out_dim)).astype(np.float32)
+
+    with mesh:
+        losses = []
+        for _ in range(30):
+            params, opt_state, l = step(params, opt_state, X, y)
+            losses.append(float(l))
+    assert losses[-1] < losses[0]

@@ -1,0 +1,110 @@
+"""YOLO training tests: assigner sanity, loss gradients, tiny overfit run."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wtracker_tpu.models.yolov8 import YoloV8, detect_top1, make_anchors
+from wtracker_tpu.neural.yolo_training import (
+    YoloTrainer,
+    detection_loss,
+    pairwise_ciou,
+    task_aligned_assigner,
+)
+
+
+def test_pairwise_ciou_identity():
+    a = jnp.array([[10.0, 10.0, 30.0, 30.0]])
+    ciou = pairwise_ciou(a, a)
+    np.testing.assert_allclose(np.asarray(ciou), [[1.0]], atol=1e-6)
+
+    b = jnp.array([[100.0, 100.0, 120.0, 120.0]])
+    assert float(pairwise_ciou(a, b)[0, 0]) < 0  # disjoint + far -> negative
+
+
+def test_assigner_prefers_anchor_on_gt():
+    imgsz = (64, 64)
+    anchors, strides = make_anchors(imgsz)
+    anchors_px = jnp.asarray(anchors * strides)
+    A = anchors_px.shape[0]
+
+    gt = jnp.array([[20.0, 20.0, 36.0, 36.0]])  # box covering ~4 stride-8 cells
+    gt_cls = jnp.array([0])
+    gt_mask = jnp.array([True])
+
+    # predictions: perfect box at every anchor, uniform scores
+    pred = jnp.tile(gt, (A, 1))
+    scores = jnp.full((A, 1), 0.5)
+
+    fg, best_gt, tgt = task_aligned_assigner(scores, pred, anchors_px, gt, gt_cls, gt_mask)
+    fg = np.asarray(fg)
+    inside = (
+        (np.asarray(anchors_px)[:, 0] >= 20)
+        & (np.asarray(anchors_px)[:, 0] <= 36)
+        & (np.asarray(anchors_px)[:, 1] >= 20)
+        & (np.asarray(anchors_px)[:, 1] <= 36)
+    )
+    assert fg.any()
+    assert (fg <= inside).all()  # only anchors inside the gt can be foreground
+    assert np.asarray(tgt)[fg].max() > 0
+
+
+def _blob_batch(rng, B=4, size=64):
+    """Images with one bright blob each + matching gt boxes."""
+    images = rng.uniform(0, 0.2, size=(B, size, size, 3)).astype(np.float32)
+    gt = np.zeros((B, 1, 4), np.float32)
+    for i in range(B):
+        cx, cy = rng.integers(16, size - 16, size=2)
+        w = h = 14
+        x0, y0 = cx - w // 2, cy - h // 2
+        images[i, y0 : y0 + h, x0 : x0 + w, :] = 1.0
+        gt[i, 0] = (x0, y0, x0 + w, y0 + h)
+    return images, gt, np.zeros((B, 1), np.int32), np.ones((B, 1), bool)
+
+
+def test_detection_loss_grads_finite(rng):
+    model = YoloV8(nc=1, scale="n")
+    imgsz = (64, 64)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, *imgsz, 3), jnp.float32), train=False)
+    images, gt, cls, mask = _blob_batch(rng)
+
+    def loss_fn(p):
+        box_l, cls_l = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]}, jnp.asarray(images), train=False
+        )
+        loss, _ = detection_loss(box_l, cls_l, jnp.asarray(gt), jnp.asarray(cls), jnp.asarray(mask), imgsz)
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    flat = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    assert any(float(jnp.abs(g).max()) > 0 for g in flat)
+
+
+def test_overfit_single_blob(rng):
+    """A tiny detector must learn to localize a fixed blob in a few steps."""
+    model = YoloV8(nc=1, scale="n")
+    imgsz = (64, 64)
+    variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, *imgsz, 3), jnp.float32), train=False)
+
+    images, gt, cls, mask = _blob_batch(rng, B=8)
+    trainer = YoloTrainer(model, variables, imgsz=imgsz, learning_rate=5e-3)
+
+    first_loss, _ = trainer.step(images, gt, cls, mask)
+    for _ in range(250):
+        loss, parts = trainer.step(images, gt, cls, mask)
+    assert loss < 0.5 * first_loss, (first_loss, loss)
+
+    # detections must land on the blobs
+    det = detect_top1(
+        model, trainer.trained_variables, jnp.asarray(images[:4, ..., 0] * 255), imgsz, conf=0.05
+    )
+    det = np.asarray(det)
+    assert np.isfinite(det).all(), det
+    for j in range(4):
+        cx, cy = det[j, 0] + det[j, 2] / 2, det[j, 1] + det[j, 3] / 2
+        gx, gy = (gt[j, 0, 0] + gt[j, 0, 2]) / 2, (gt[j, 0, 1] + gt[j, 0, 3]) / 2
+        assert abs(cx - gx) < 8 and abs(cy - gy) < 8, (det[j], gt[j])

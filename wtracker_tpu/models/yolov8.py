@@ -164,11 +164,25 @@ class DetectHead(nn.Module):
         for i, f in enumerate(feats):
             b = ConvBN(c2, 3, compute_dtype=self.compute_dtype, name=f"cv2_{i}_0")(f, train)
             b = ConvBN(c2, 3, compute_dtype=self.compute_dtype, name=f"cv2_{i}_1")(b, train)
-            b = nn.Conv(4 * self.reg_max, (1, 1), dtype=self.compute_dtype, name=f"cv2_{i}_2")(b)
+            # bias priors (trainability): box bins start at 1.0, class logits
+            # at a ~1% objectness prior — the standard YOLO head init
+            b = nn.Conv(
+                4 * self.reg_max,
+                (1, 1),
+                dtype=self.compute_dtype,
+                bias_init=nn.initializers.constant(1.0),
+                name=f"cv2_{i}_2",
+            )(b)
 
             c = ConvBN(c3, 3, compute_dtype=self.compute_dtype, name=f"cv3_{i}_0")(f, train)
             c = ConvBN(c3, 3, compute_dtype=self.compute_dtype, name=f"cv3_{i}_1")(c, train)
-            c = nn.Conv(self.nc, (1, 1), dtype=self.compute_dtype, name=f"cv3_{i}_2")(c)
+            c = nn.Conv(
+                self.nc,
+                (1, 1),
+                dtype=self.compute_dtype,
+                bias_init=nn.initializers.constant(-4.595),
+                name=f"cv3_{i}_2",
+            )(c)
 
             box_out.append(b)
             cls_out.append(c)
@@ -313,6 +327,34 @@ def preprocess_batch(frames: jnp.ndarray, imgsz: tuple[int, int]) -> tuple[jnp.n
     return x, (scale, pad_top, pad_left)
 
 
+def detect_top1(
+    model: YoloV8,
+    variables: dict,
+    frames: jnp.ndarray,
+    imgsz: tuple[int, int],
+    conf: float,
+) -> jnp.ndarray:
+    """Pure end-to-end top-1 detection (usable inside other jitted code).
+
+    (B, H, W[, C]) frames → (B, 4) xywh in source pixels; NaN rows when the
+    best score is below ``conf`` (the reference's ``max_det=1`` contract).
+    """
+    x, (scale, pad_top, pad_left) = preprocess_batch(frames, imgsz)
+    box_logits, cls_logits = model.apply(variables, x, train=False)
+    boxes, scores = decode_predictions(box_logits, cls_logits, imgsz, model.reg_max)
+
+    top = jnp.max(scores, axis=-1)  # (B, A) best class per anchor
+    idx = jnp.argmax(top, axis=-1)  # (B,) best anchor
+    best_score = jnp.take_along_axis(top, idx[:, None], axis=1)[:, 0]
+    best_box = jnp.take_along_axis(boxes, idx[:, None, None], axis=1)[:, 0]  # xyxy
+
+    # letterbox → source coordinates
+    xy = (best_box[:, :2] - jnp.array([pad_left, pad_top])) / scale
+    wh = (best_box[:, 2:] - best_box[:, :2]) / scale
+    out = jnp.concatenate([xy, wh], axis=-1)
+    return jnp.where((best_score >= conf)[:, None], out, jnp.nan)
+
+
 @dataclass
 class YoloV8Detector:
     """End-to-end worm-head detector: preprocess → forward → decode → top-1.
@@ -333,20 +375,7 @@ class YoloV8Detector:
 
         @jax.jit
         def detect(variables, frames):
-            x, (scale, pad_top, pad_left) = preprocess_batch(frames, imgsz)
-            box_logits, cls_logits = model.apply(variables, x, train=False)
-            boxes, scores = decode_predictions(box_logits, cls_logits, imgsz, model.reg_max)
-
-            top = jnp.max(scores, axis=-1)  # (B, A) best class per anchor
-            idx = jnp.argmax(top, axis=-1)  # (B,) best anchor
-            best_score = jnp.take_along_axis(top, idx[:, None], axis=1)[:, 0]
-            best_box = jnp.take_along_axis(boxes, idx[:, None, None], axis=1)[:, 0]  # xyxy
-
-            # letterbox → source coordinates
-            xy = (best_box[:, :2] - jnp.array([pad_left, pad_top])) / scale
-            wh = (best_box[:, 2:] - best_box[:, :2]) / scale
-            out = jnp.concatenate([xy, wh], axis=-1)
-            return jnp.where((best_score >= conf)[:, None], out, jnp.nan)
+            return detect_top1(model, variables, frames, imgsz, conf)
 
         object.__setattr__(self, "_detect_fn", detect)
 

@@ -1,0 +1,122 @@
+"""Device-mesh scale-out for the closed-loop engine and training.
+
+The reference is strictly single-process with no distributed backend
+(SURVEY.md §2b); the TPU framework's parallelism axes are therefore chosen by
+the workload, not ported:
+
+* **streams** — independent worm streams / experiments shard across chips for
+  the closed-loop engine (embarrassingly parallel; detector weights
+  replicate, per-stream state shards, zero collectives on the hot path);
+* **data** — batch-dimension sharding for trainers (gradients reduce with
+  ``psum`` inserted automatically by XLA from the sharding annotations).
+
+Multi-chip runs use a standard ``jax.sharding.Mesh``; CPU-mesh simulation
+(``xla_force_host_platform_device_count``) exercises the same code path
+without hardware.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from wtracker_tpu.sim.engine import CycleController, CycleLog, EngineParams, _clamp, make_cycle_step
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "streams") -> Mesh:
+    """A 1-D mesh over the first ``n_devices`` devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def stream_sharding(mesh: Mesh, axis: str = "streams") -> NamedSharding:
+    """Sharding that splits the leading (stream/batch) axis across the mesh."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def run_engine_sharded(
+    params: EngineParams,
+    controller: CycleController,
+    init_positions: np.ndarray,
+    n_cycles: int,
+    mesh: Mesh,
+    axis: str = "streams",
+) -> CycleLog:
+    """Run the stream-batched engine with streams sharded across the mesh.
+
+    Per-stream state (leading axis S, which must divide the mesh size) shards
+    over ``axis``; everything closed over by the controller (model weights,
+    scene constants) is replicated by XLA.  The scan compiles to one SPMD
+    program with no cross-chip communication in the cycle loop.
+    """
+    shard = stream_sharding(mesh, axis)
+
+    def constrain(tree):
+        return jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, shard), tree)
+
+    @jax.jit
+    def run(init_pos):
+        pos0 = _clamp(jnp.asarray(init_pos, dtype=jnp.int32), params)
+        pos0 = jax.lax.with_sharding_constraint(pos0, shard)
+        s = pos0.shape[0]
+        prev0 = jnp.broadcast_to(pos0[:, None, :], (s, params.cycle_n, 2)).astype(jnp.int32)
+        carry0 = (pos0, prev0, constrain(controller.init()))
+
+        step = make_cycle_step(params, controller)
+        batched = jax.vmap(step, in_axes=((0, 0, 0), None))
+
+        def shard_step(carry, c):
+            carry, out = batched(carry, c)
+            return jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, shard), carry), out
+
+        _, logs = jax.lax.scan(shard_step, carry0, jnp.arange(n_cycles, dtype=jnp.int32))
+        return logs
+
+    with mesh:
+        init = jax.device_put(np.asarray(init_positions, dtype=np.int32), shard)
+        return run(init)
+
+
+# ---------------------------------------------------------------------------
+# data-parallel training step
+# ---------------------------------------------------------------------------
+
+
+def make_dp_train_step(model, tx, loss_fn, mesh: Mesh, axis: str = "data"):
+    """A data-parallel train step: batch shards over ``axis``, params replicate.
+
+    XLA inserts the gradient ``psum`` from the sharding annotations — no
+    hand-written collectives.  Returns ``step(params, opt_state, X, y)``.
+    """
+    batch_shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    @partial(
+        jax.jit,
+        in_shardings=(repl, repl, batch_shard, batch_shard),
+        out_shardings=(repl, repl, repl),
+    )
+    def step(params, opt_state, X, y):
+        def loss(p):
+            preds = model.apply({"params": p}, X, train=True)
+            return loss_fn(preds, y)
+
+        l, grads = jax.value_and_grad(loss)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        import optax
+
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, l
+
+    return step

@@ -200,6 +200,34 @@ def run_engine(
     return run(init_position)
 
 
+def run_engine_streams(
+    params: EngineParams,
+    controller: CycleController,
+    init_positions: jnp.ndarray,
+    n_cycles: int,
+) -> CycleLog:
+    """Run S independent worm streams in one compiled program.
+
+    ``controller.init()`` must return per-stream state (leading axis S);
+    stream-specific data (trajectories, detection rings) lives in that state.
+    Returns logs with leading axes ``(n_cycles, S, cycle_n)``.
+    """
+
+    @jax.jit
+    def run(init_pos):
+        pos0 = _clamp(jnp.asarray(init_pos, dtype=jnp.int32), params)
+        s = pos0.shape[0]
+        prev0 = jnp.broadcast_to(pos0[:, None, :], (s, params.cycle_n, 2)).astype(jnp.int32)
+        carry0 = (pos0, prev0, controller.init())
+
+        step = make_cycle_step(params, controller)
+        batched = jax.vmap(step, in_axes=((0, 0, 0), None))
+        _, logs = jax.lax.scan(batched, carry0, jnp.arange(n_cycles, dtype=jnp.int32))
+        return logs
+
+    return run(init_positions)
+
+
 # ---------------------------------------------------------------------------
 # log assembly (host side)
 # ---------------------------------------------------------------------------

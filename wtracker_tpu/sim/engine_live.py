@@ -1,0 +1,180 @@
+"""Live-detection closed loop: YOLO → ResMLP inside the scan engine.
+
+This is the flagship path of the framework (BASELINE.json: "Full closed-loop
+Simulator: YOLO controller on one microscopy video stream", scaled out to many
+streams).  Each scan step simulates one cycle of the real platform:
+
+1. render (or crop) the imaging-phase camera views;
+2. detect the worm head in every view with the Flax YOLOv8 (batched across
+   streams × frames — one MXU-friendly batch per cycle);
+3. append detections (absolute coordinates) to a per-stream ring buffer;
+4. predict the worm's future displacement with the ResMLP from the ring
+   history at the predictor's ``input_frames`` offsets (the reference
+   MLPController math, mlp_controllers.py:38-68) — falling back to the
+   detected-position move (CsvController math) when history is incomplete;
+5. spread the move over the moving phase with the sine motor;
+6. (log mode) detect the moving-phase views too, so the emitted log rows carry
+   a worm bbox for every frame like the reference's YoloController
+   ``_cycle_predict_all`` (yolo_controller.py:108-109).
+
+No image data is stored or transferred anywhere: views are rendered on device
+by :class:`~wtracker_tpu.sim.synthetic.SyntheticScene` as a function of the
+ground-truth trajectory and the platform position.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wtracker_tpu.models.yolov8 import YoloV8, detect_top1
+from wtracker_tpu.sim.engine import CycleController, DecideCtx, EngineParams, _gather_rows
+from wtracker_tpu.sim.synthetic import SyntheticScene
+
+
+@dataclass(frozen=True)
+class LiveLoopConfig:
+    """Static settings of the live YOLO+MLP loop."""
+
+    imgsz: tuple[int, int] = (416, 416)
+    conf: float = 0.1
+    ring_size: int = 64
+    """Detection-history depth (must exceed the oldest MLP input offset plus
+    one cycle)."""
+    log_mode: bool = True
+    """Also detect moving-phase frames so every log row has a worm bbox."""
+    max_dist_per_pred: float = 40.0
+    """Clip bound on the MLP displacement prediction, in px."""
+
+
+def hybrid_yolo_mlp_controller(
+    params: EngineParams,
+    config: LiveLoopConfig,
+    scene: SyntheticScene,
+    gt_traj: np.ndarray,
+    detector_model: YoloV8,
+    detector_variables: dict,
+    predictor,
+) -> CycleController:
+    """Build the live controller for one stream (vmap-ready via state).
+
+    Args:
+        gt_traj: (F, 2) ground-truth worm trajectory for the rendered scene —
+            per-stream when used with ``run_engine_streams`` (state carries it).
+        predictor: a :class:`~wtracker_tpu.models.resmlp.WormPredictor`; its
+            ``input_frames`` offsets select ring entries as features.
+    """
+    R = config.ring_size
+    L = params.cycle_n
+    io = predictor.io_config
+    input_frames = jnp.asarray(io.input_frames, dtype=jnp.int32)
+    mlp_model, mlp_vars = predictor.model, predictor.variables
+    gt = jnp.asarray(gt_traj, dtype=jnp.float32)
+
+    cam_half = jnp.array([params.cam_w // 2, params.cam_h // 2], dtype=jnp.int32)
+    view_hw = (params.cam_h, params.cam_w)
+
+    def detect_views(worm_xy, cam_tls, frame_idx):
+        views = scene.render_views(worm_xy, cam_tls.astype(jnp.float32), view_hw, frame_idx)
+        boxes = detect_top1(detector_model, detector_variables, views, config.imgsz, config.conf)
+        # view -> absolute arena coordinates
+        return boxes.at[:, :2].add(cam_tls.astype(boxes.dtype))
+
+    def init():
+        return {
+            "ring": jnp.full((R, 4), jnp.nan, dtype=jnp.float32),
+            "stash": jnp.full((params.imaging_n, 4), jnp.nan, dtype=jnp.float32),
+            "gt": gt,
+        }
+
+    def decide(state, ctx: DecideCtx):
+        idx = ctx.cycle * L + jnp.arange(params.imaging_n)
+        cam_tl = ctx.position - cam_half
+        cam_tls = jnp.broadcast_to(cam_tl, (params.imaging_n, 2))
+
+        worm_xy = jnp.take(state["gt"], jnp.clip(idx, 0, state["gt"].shape[0] - 1), axis=0)
+        boxes_abs = detect_views(worm_xy, cam_tls, idx)
+
+        ring = state["ring"].at[idx % R, :].set(boxes_abs)
+
+        # --- movement prediction (reference MLPController math) ---
+        kickoff = ctx.cycle * L + params.imaging_n - params.pred_n
+        f_in = kickoff + input_frames
+        feats_abs = jnp.where(
+            (f_in >= 0)[:, None], jnp.take(ring, f_in % R, axis=0), jnp.nan
+        )  # (k, 4) absolute
+
+        cam_center = (cam_tl.astype(jnp.float32) + jnp.array(
+            [params.cam_w / 2, params.cam_h / 2], jnp.float32
+        ))
+        mlp_valid = jnp.isfinite(feats_abs).all()
+
+        rel = feats_abs[0, :2] - cam_center
+        origin = feats_abs[0, :2]
+        feats = feats_abs.at[:, :2].add(-origin).reshape(1, -1)
+        feats = jnp.where(mlp_valid, feats, 0.0)
+
+        pred = mlp_model.apply(mlp_vars, feats.astype(jnp.float32), train=False).reshape(-1)
+        pred = jnp.clip(pred, -config.max_dist_per_pred, config.max_dist_per_pred)
+        mlp_move = jnp.round(pred[:2] + rel)
+
+        # fallback: center the freshest detection (CsvController math)
+        last_det = jnp.take(ring, (kickoff % R) * jnp.ones((), jnp.int32), axis=0).reshape(4)
+        det_valid = jnp.isfinite(last_det).all()
+        det_center = last_det[:2] + last_det[2:] / 2
+        det_move = jnp.round(det_center - cam_center)
+
+        dxdy = jnp.where(
+            mlp_valid, mlp_move, jnp.where(det_valid, det_move, jnp.zeros(2))
+        ).astype(jnp.int32)
+
+        state = {"ring": ring, "stash": boxes_abs, "gt": state["gt"]}
+        return state, dxdy
+
+    def predict_all(state, cycle_idx, positions):
+        imaging = state["stash"].astype(jnp.float64)
+        if not config.log_mode:
+            moving = jnp.full((params.moving_n, 4), jnp.nan, dtype=jnp.float64)
+        else:
+            idx = cycle_idx * L + params.imaging_n + jnp.arange(params.moving_n)
+            cam_tls = positions[params.imaging_n :] - cam_half
+            worm_xy = jnp.take(state["gt"], jnp.clip(idx, 0, state["gt"].shape[0] - 1), axis=0)
+            moving = detect_views(worm_xy, cam_tls, idx).astype(jnp.float64)
+        return jnp.concatenate([imaging, moving], axis=0)
+
+    return CycleController(init=init, decide=decide, predict_all=predict_all)
+
+
+def make_stream_batch(
+    params: EngineParams,
+    config: LiveLoopConfig,
+    scene: SyntheticScene,
+    gt_trajs: np.ndarray,
+    detector_model: YoloV8,
+    detector_variables: dict,
+    predictor,
+) -> CycleController:
+    """Controller whose state carries per-stream trajectories, for
+    :func:`~wtracker_tpu.sim.engine.run_engine_streams`.
+
+    Args:
+        gt_trajs: (S, F, 2) per-stream ground-truth trajectories.
+    """
+    base = hybrid_yolo_mlp_controller(
+        params, config, scene, gt_trajs[0], detector_model, detector_variables, predictor
+    )
+    S = gt_trajs.shape[0]
+    R = config.ring_size
+
+    def init():
+        return {
+            "ring": jnp.full((S, R, 4), jnp.nan, dtype=jnp.float32),
+            "stash": jnp.full((S, params.imaging_n, 4), jnp.nan, dtype=jnp.float32),
+            "gt": jnp.asarray(gt_trajs, dtype=jnp.float32),
+        }
+
+    return CycleController(init=init, decide=base.decide, predict_all=base.predict_all)

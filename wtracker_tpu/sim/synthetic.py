@@ -1,0 +1,117 @@
+"""On-device synthetic microscopy: rendered worm views without frame storage.
+
+The reference's no-data backend is a white-frame DummyReader
+(frame_reader.py:247-272).  This module is its content-bearing TPU twin: given
+a ground-truth trajectory, it renders camera views directly on device — a
+textured agar-like background plus an anisotropic worm blob — as a pure
+function of (frame index, camera position).  Full-scale closed-loop runs with
+a live detector then need zero bytes of image storage or host→device traffic:
+the view is generated inside the scan right where the detector consumes it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_trajectory(
+    num_frames: int,
+    arena_hw: tuple[int, int],
+    seed: int = 0,
+    speed: float = 0.9,
+    drift: float = 0.25,
+    margin: int = 40,
+) -> np.ndarray:
+    """A smooth random-walk worm trajectory, (F, 2) float64 (x, y)."""
+    rng = np.random.default_rng(seed)
+    h, w = arena_hw
+    steps = rng.normal(0, speed, size=(num_frames - 1, 2)) + drift
+    # smooth with a running average for worm-like motion
+    kernel = np.ones(15) / 15
+    steps[:, 0] = np.convolve(steps[:, 0], kernel, mode="same")
+    steps[:, 1] = np.convolve(steps[:, 1], kernel, mode="same")
+    pos = np.concatenate([[[w / 2, h / 2]], steps]).cumsum(axis=0)
+    pos[:, 0] = margin + np.abs(pos[:, 0] - margin) % (2 * (w - 2 * margin)) % (w - 2 * margin)
+    pos[:, 1] = margin + np.abs(pos[:, 1] - margin) % (2 * (h - 2 * margin)) % (h - 2 * margin)
+    return pos
+
+
+@dataclass(frozen=True)
+class SyntheticScene:
+    """Parametric scene: background texture + worm appearance."""
+
+    worm_sigma_x: float = 5.0
+    worm_sigma_y: float = 3.0
+    worm_intensity: float = 160.0
+    bg_level: float = 40.0
+    texture_amp: float = 10.0
+
+    def render_view(
+        self,
+        worm_xy: jnp.ndarray,
+        cam_tl: jnp.ndarray,
+        view_hw: tuple[int, int],
+        frame_idx: jnp.ndarray | int = 0,
+    ) -> jnp.ndarray:
+        """Render one camera view, (h, w) float32 in [0, 255].
+
+        Args:
+            worm_xy: (2,) ground-truth worm center in arena coordinates.
+            cam_tl: (2,) camera top-left in arena coordinates.
+            view_hw: static (h, w) of the view.
+            frame_idx: seeds slight per-frame wiggle of the worm shape.
+        """
+        h, w = view_hw
+        ys = jnp.arange(h, dtype=jnp.float32)[:, None] + cam_tl[1]
+        xs = jnp.arange(w, dtype=jnp.float32)[None, :] + cam_tl[0]
+
+        # agar-like low-frequency texture (absolute coords -> stable as the
+        # camera moves)
+        tex = (
+            jnp.sin(xs * 0.07) * jnp.cos(ys * 0.05)
+            + 0.5 * jnp.sin(xs * 0.013 + ys * 0.017)
+        )
+        bg = self.bg_level + self.texture_amp * tex
+
+        t = jnp.asarray(frame_idx, dtype=jnp.float32)
+        angle = 0.35 * jnp.sin(0.13 * t)
+        ca, sa = jnp.cos(angle), jnp.sin(angle)
+        dx = xs - worm_xy[0]
+        dy = ys - worm_xy[1]
+        u = ca * dx + sa * dy
+        v = -sa * dx + ca * dy
+        worm = self.worm_intensity * jnp.exp(
+            -0.5 * ((u / self.worm_sigma_x) ** 2 + (v / self.worm_sigma_y) ** 2)
+        )
+        return jnp.clip(bg + worm, 0, 255)
+
+    def render_views(
+        self,
+        worm_xys: jnp.ndarray,
+        cam_tls: jnp.ndarray,
+        view_hw: tuple[int, int],
+        frame_idx: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Batched rendering: (N, 2) worms + (N, 2) cameras → (N, h, w)."""
+        return jax.vmap(lambda wxy, ctl, fi: self.render_view(wxy, ctl, view_hw, fi))(
+            worm_xys, cam_tls, frame_idx
+        )
+
+    def gt_bboxes(self, worm_xys: jnp.ndarray, k_sigma: float = 2.0) -> jnp.ndarray:
+        """Ground-truth xywh boxes implied by the worm blob extent."""
+        wx = 2 * k_sigma * self.worm_sigma_x
+        wy = 2 * k_sigma * self.worm_sigma_y
+        return jnp.concatenate(
+            [
+                worm_xys[..., 0:1] - wx / 2,
+                worm_xys[..., 1:2] - wy / 2,
+                jnp.full((*worm_xys.shape[:-1], 1), wx),
+                jnp.full((*worm_xys.shape[:-1], 1), wy),
+            ],
+            axis=-1,
+        )
