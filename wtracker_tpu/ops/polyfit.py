@@ -24,18 +24,75 @@ import jax.numpy as jnp
 __all__ = ["polyvander", "polyfit", "polyval", "fit_and_eval", "lstsq_minnorm"]
 
 
+def jacobi_eigh(a: jnp.ndarray, sweeps: int = 12) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric eigendecomposition by unrolled cyclic Jacobi rotations.
+
+    Built for the tiny (k ≤ 8) normal matrices of polynomial fitting:
+    ``jnp.linalg.eigh``'s f64 custom call does not lower reliably on TPU (it
+    returns NaN on the axon runtime), while this uses only elementwise f64
+    arithmetic.  Cost is ``sweeps · k(k-1)/2`` Givens rotations, fully unrolled
+    at trace time.
+
+    Returns ``(eigenvalues, eigenvectors)`` with columns as eigenvectors,
+    like ``jnp.linalg.eigh`` (not sorted).
+    """
+    k = a.shape[0]
+    v = jnp.eye(k, dtype=a.dtype)
+    tiny = jnp.asarray(jnp.finfo(a.dtype).tiny, a.dtype)
+
+    for _ in range(sweeps):
+        for p in range(k - 1):
+            for q in range(p + 1, k):
+                apq = a[p, q]
+                app = a[p, p]
+                aqq = a[q, q]
+
+                rotate = jnp.abs(apq) > tiny
+                safe_apq = jnp.where(rotate, apq, 1.0)
+                tau = (aqq - app) / (2.0 * safe_apq)
+                t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+                t = jnp.where(jnp.sign(tau) == 0, 1.0 / (tau + jnp.sqrt(1.0 + tau * tau)), t)
+                c = 1.0 / jnp.sqrt(1.0 + t * t)
+                s = t * c
+                c = jnp.where(rotate, c, 1.0)
+                s = jnp.where(rotate, s, 0.0)
+
+                # a <- Gᵀ a G on rows/cols p, q
+                row_p = a[p, :]
+                row_q = a[q, :]
+                a = a.at[p, :].set(c * row_p - s * row_q)
+                a = a.at[q, :].set(s * row_p + c * row_q)
+                col_p = a[:, p]
+                col_q = a[:, q]
+                a = a.at[:, p].set(c * col_p - s * col_q)
+                a = a.at[:, q].set(s * col_p + c * col_q)
+                a = a.at[p, q].set(0.0)
+                a = a.at[q, p].set(0.0)
+
+                vcol_p = v[:, p]
+                vcol_q = v[:, q]
+                v = v.at[:, p].set(c * vcol_p - s * vcol_q)
+                v = v.at[:, q].set(s * vcol_p + c * vcol_q)
+
+    return jnp.diagonal(a), v
+
+
 def lstsq_minnorm(a: jnp.ndarray, b: jnp.ndarray, rcond: float | jnp.ndarray) -> jnp.ndarray:
     """Min-norm least-squares solution of ``a @ x = b`` via normal equations.
 
-    Eigen-decomposes ``aᵀa`` (symmetric PSD, shape (k, k)) and filters
-    eigenvalues below ``(rcond·σ_max)²``, mirroring ``np.linalg.lstsq``'s
-    singular-value cutoff.  TPU-safe in float64 (elementwise + eigh only).
+    Eigen-decomposes ``aᵀa`` (symmetric PSD, shape (k, k)) with the TPU-safe
+    Jacobi solver and filters eigenvalues below ``(rcond·σ_max)²``, mirroring
+    ``np.linalg.lstsq``'s singular-value cutoff.
     """
     ata = a.T @ a
     atb = a.T @ b
-    evals, evecs = jnp.linalg.eigh(ata)
+    evals, evecs = jacobi_eigh(ata)
     evals = jnp.maximum(evals, 0.0)
-    cutoff = (rcond**2) * jnp.max(evals)
+    # the eigenvalue cutoff needs a floor at the normal-equations noise level
+    # (~eps·λmax — forming aᵀa squares singular values but not the noise), or
+    # rank-deficient systems keep spurious directions
+    eps = jnp.finfo(ata.dtype).eps
+    cutoff = jnp.maximum(rcond**2, 16 * eps) * jnp.max(evals)
     inv = jnp.where(evals > cutoff, 1.0 / jnp.where(evals > cutoff, evals, 1.0), 0.0)
     return evecs @ (inv[:, None] * (evecs.T @ atb))
 

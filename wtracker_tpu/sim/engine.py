@@ -177,27 +177,44 @@ def make_cycle_step(params: EngineParams, controller: CycleController):
     return cycle_step
 
 
+def init_carry(params: EngineParams, controller: CycleController, init_position) -> tuple:
+    """Fresh engine carry (platform position, last-cycle positions, state)."""
+    pos0 = _clamp(jnp.asarray(init_position, dtype=jnp.int32), params)
+    prev0 = jnp.broadcast_to(pos0, (params.cycle_n, 2)).astype(jnp.int32)
+    return (pos0, prev0, controller.init())
+
+
 def run_engine(
     params: EngineParams,
     controller: CycleController,
     init_position: tuple[int, int] | jnp.ndarray,
     n_cycles: int,
-) -> CycleLog:
+    *,
+    start_cycle: int = 0,
+    carry: tuple | None = None,
+    return_carry: bool = False,
+):
     """Run the closed loop for ``n_cycles`` complete cycles (jit-compiled).
 
-    Returns stacked logs with leading axes ``(n_cycles, cycle_n)``.
+    Checkpoint/resume: the full simulation state is the (small) scan carry —
+    pass ``return_carry=True`` to get it back, persist it with
+    ``jax.tree.map(np.asarray, carry)``, and resume later via ``carry=`` +
+    ``start_cycle=`` (the reference has no sim resume at all, SURVEY.md §5).
+
+    Returns stacked logs with leading axes ``(n_cycles, cycle_n)``
+    (and the final carry when requested).
     """
 
     @partial(jax.jit, static_argnums=())
-    def run(init_pos):
-        pos0 = _clamp(jnp.asarray(init_pos, dtype=jnp.int32), params)
-        prev0 = jnp.broadcast_to(pos0, (params.cycle_n, 2)).astype(jnp.int32)
-        carry0 = (pos0, prev0, controller.init())
+    def run(carry0, cycles):
         step = make_cycle_step(params, controller)
-        _, logs = jax.lax.scan(step, carry0, jnp.arange(n_cycles, dtype=jnp.int32))
-        return logs
+        return jax.lax.scan(step, carry0, cycles)
 
-    return run(init_position)
+    if carry is None:
+        carry = init_carry(params, controller, init_position)
+    cycles = jnp.arange(start_cycle, start_cycle + n_cycles, dtype=jnp.int32)
+    final_carry, logs = run(carry, cycles)
+    return (logs, final_carry) if return_carry else logs
 
 
 def run_engine_streams(

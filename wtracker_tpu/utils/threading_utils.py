@@ -70,6 +70,10 @@ class TaskScheduler:
     Shutdown protocol: ``close()`` joins the queue, then posts a ``None``
     sentinel and joins the thread — guaranteeing every scheduled task completes
     before the scheduler returns.
+
+    Robustness (deviation from the reference, threading_utils.py:133-141): a
+    task exception is recorded and re-raised from ``close()`` instead of
+    silently killing the worker — whose death would deadlock ``queue.join()``.
     """
 
     def __init__(
@@ -82,6 +86,7 @@ class TaskScheduler:
         self._queue: queue.Queue = TqdmQueue(maxsize, **tqdm_kwargs) if tqdm else queue.Queue(maxsize)
         self._worker_thread = threading.Thread(target=self._worker, args=(self._queue,), daemon=True)
         self._task_func = task_func
+        self._errors: list[Exception] = []
 
     def start(self) -> None:
         self._worker_thread.start()
@@ -102,11 +107,19 @@ class TaskScheduler:
             params = q.get(block=True)
             if params is None:
                 break
-            self._task_func(params)
-            q.task_done()
+            try:
+                self._task_func(params)
+            except Exception as e:  # keep draining; surface the error on close
+                self._errors.append(e)
+            finally:
+                q.task_done()
 
     def close(self) -> None:
-        """Drain the queue, stop the worker, and join it."""
+        """Drain the queue, stop the worker, join it; re-raise task errors."""
         self._queue.join()
         self._queue.put(None)
         self._worker_thread.join()
+        if self._errors:
+            raise RuntimeError(
+                f"{len(self._errors)} task(s) failed; first error: {self._errors[0]!r}"
+            ) from self._errors[0]
