@@ -1,0 +1,182 @@
+// Native frame loader: parallel BMP decode into contiguous batch buffers.
+//
+// The reference's frame path is one cv.imread per frame on the simulation
+// thread (frame_reader.py:137-144) — fine for a notebook, a bottleneck for a
+// TPU pipeline that wants whole cycles in one host->device transfer.  This
+// loader decodes batches of BMP frames with a thread pool directly into the
+// caller's contiguous buffer (the numpy array that feeds jax.device_put).
+//
+// Supported: BITMAPINFOHEADER BMPs, 8-bit paletted/gray and 24/32-bit BGR,
+// bottom-up or top-down rows.  Grayscale conversion uses OpenCV's fixed-point
+// BGR weights so outputs match cv.imread(path, IMREAD_GRAYSCALE) bit-for-bit.
+//
+// C ABI (ctypes):
+//   wt_probe_bmp(path, &h, &w, &channels)          -> 0 on success
+//   wt_load_batch_bmp(paths, n, out, stride, h, w,
+//                     gray, n_threads)             -> 0 on success (all frames)
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+#pragma pack(push, 1)
+struct BmpFileHeader {
+  uint16_t magic;
+  uint32_t file_size;
+  uint32_t reserved;
+  uint32_t data_offset;
+};
+struct BmpInfoHeader {
+  uint32_t header_size;
+  int32_t width;
+  int32_t height;
+  uint16_t planes;
+  uint16_t bit_count;
+  uint32_t compression;
+  uint32_t image_size;
+  int32_t ppm_x, ppm_y;
+  uint32_t colors_used;
+  uint32_t colors_important;
+};
+#pragma pack(pop)
+
+struct Bmp {
+  std::vector<uint8_t> data;
+  BmpFileHeader file = {};
+  BmpInfoHeader info = {};
+  const uint8_t* pixels = nullptr;
+  const uint8_t* palette = nullptr;
+  int height = 0;  // absolute
+  bool top_down = false;
+};
+
+// OpenCV's fixed-point BGR->gray: (B*1868 + G*9617 + R*4899 + 2^13) >> 14
+inline uint8_t bgr_to_gray(uint8_t b, uint8_t g, uint8_t r) {
+  return static_cast<uint8_t>((1868u * b + 9617u * g + 4899u * r + (1u << 13)) >> 14);
+}
+
+int read_bmp(const char* path, Bmp& bmp) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return 1;
+  std::fseek(f, 0, SEEK_END);
+  long size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (size < static_cast<long>(sizeof(BmpFileHeader) + sizeof(BmpInfoHeader))) {
+    std::fclose(f);
+    return 2;
+  }
+  bmp.data.resize(size);
+  size_t got = std::fread(bmp.data.data(), 1, size, f);
+  std::fclose(f);
+  if (got != static_cast<size_t>(size)) return 3;
+
+  std::memcpy(&bmp.file, bmp.data.data(), sizeof(bmp.file));
+  std::memcpy(&bmp.info, bmp.data.data() + sizeof(bmp.file), sizeof(bmp.info));
+  if (bmp.file.magic != 0x4D42) return 4;                        // "BM"
+  if (bmp.info.compression != 0) return 5;                       // BI_RGB only
+  if (bmp.info.bit_count != 8 && bmp.info.bit_count != 24 && bmp.info.bit_count != 32) return 6;
+
+  bmp.top_down = bmp.info.height < 0;
+  bmp.height = bmp.top_down ? -bmp.info.height : bmp.info.height;
+  bmp.pixels = bmp.data.data() + bmp.file.data_offset;
+  if (bmp.info.bit_count == 8) {
+    bmp.palette = bmp.data.data() + sizeof(bmp.file) + bmp.info.header_size;
+  }
+  long row_bytes = ((static_cast<long>(bmp.info.width) * bmp.info.bit_count + 31) / 32) * 4;
+  if (bmp.file.data_offset + row_bytes * bmp.height > size) return 7;
+  return 0;
+}
+
+// Decode into out (row-major h*w for gray, h*w*3 BGR otherwise).
+int decode(const Bmp& bmp, uint8_t* out, int gray) {
+  const int w = bmp.info.width;
+  const int h = bmp.height;
+  const long row_bytes = ((static_cast<long>(w) * bmp.info.bit_count + 31) / 32) * 4;
+
+  for (int y = 0; y < h; ++y) {
+    const int src_y = bmp.top_down ? y : (h - 1 - y);
+    const uint8_t* row = bmp.pixels + src_y * row_bytes;
+    if (bmp.info.bit_count == 8) {
+      if (gray) {
+        // palette lookup; for a grayscale ramp palette this is identity
+        for (int x = 0; x < w; ++x) {
+          const uint8_t* p = bmp.palette + 4 * row[x];
+          out[static_cast<long>(y) * w + x] = bgr_to_gray(p[0], p[1], p[2]);
+        }
+      } else {
+        for (int x = 0; x < w; ++x) {
+          const uint8_t* p = bmp.palette + 4 * row[x];
+          uint8_t* o = out + (static_cast<long>(y) * w + x) * 3;
+          o[0] = p[0]; o[1] = p[1]; o[2] = p[2];
+        }
+      }
+    } else {
+      const int step = bmp.info.bit_count / 8;
+      if (gray) {
+        for (int x = 0; x < w; ++x) {
+          const uint8_t* p = row + static_cast<long>(x) * step;
+          out[static_cast<long>(y) * w + x] = bgr_to_gray(p[0], p[1], p[2]);
+        }
+      } else {
+        for (int x = 0; x < w; ++x) {
+          const uint8_t* p = row + static_cast<long>(x) * step;
+          uint8_t* o = out + (static_cast<long>(y) * w + x) * 3;
+          o[0] = p[0]; o[1] = p[1]; o[2] = p[2];
+        }
+      }
+    }
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int wt_probe_bmp(const char* path, int* h, int* w, int* channels) {
+  Bmp bmp;
+  int rc = read_bmp(path, bmp);
+  if (rc) return rc;
+  *h = bmp.height;
+  *w = bmp.info.width;
+  *channels = bmp.info.bit_count == 8 ? 1 : 3;
+  return 0;
+}
+
+// Decode n frames into out; frame i goes to out + i*frame_stride.  Every
+// frame must match (h, w); gray!=0 converts to single-channel.  Returns 0 if
+// every frame decoded, otherwise the first error code encountered.
+int wt_load_batch_bmp(const char** paths, int n, uint8_t* out, long frame_stride,
+                      int h, int w, int gray, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0);
+  std::atomic<int> err(0);
+
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      Bmp bmp;
+      int rc = read_bmp(paths[i], bmp);
+      if (!rc && (bmp.height != h || bmp.info.width != w)) rc = 8;
+      if (!rc) rc = decode(bmp, out + static_cast<long>(i) * frame_stride, gray);
+      if (rc) {
+        int expected = 0;
+        err.compare_exchange_strong(expected, rc);
+      }
+    }
+  };
+
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads - 1; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+  return err.load();
+}
+
+}  // extern "C"

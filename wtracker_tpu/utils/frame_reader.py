@@ -97,13 +97,41 @@ class FrameReader:
         return frame.astype(np.uint8, copy=False)
 
     def read_batch(self, indices: np.ndarray | list[int] | None = None) -> np.ndarray:
-        """Decode many frames into one contiguous uint8 array ``(N, *frame_shape)``."""
+        """Decode many frames into one contiguous uint8 array ``(N, *frame_shape)``.
+
+        BMP sources decode through the native multithreaded loader
+        (:mod:`wtracker_tpu.runtime`) when available — one parallel decode
+        into the batch buffer instead of per-frame ``cv.imread`` calls.
+        """
         if indices is None:
             indices = range(len(self))
+        indices = [int(i) for i in indices]
+
+        native = self._try_native_batch(indices)
+        if native is not None:
+            return native
+
         out = np.empty((len(indices), *self._frame_shape), dtype=np.uint8)
         for i, idx in enumerate(indices):
-            out[i] = self[int(idx)]
+            out[i] = self[idx]
         return out
+
+    def _try_native_batch(self, indices: list[int]) -> np.ndarray | None:
+        if self._read_format not in (cv.IMREAD_GRAYSCALE, cv.IMREAD_COLOR):
+            return None
+        gray = self._read_format == cv.IMREAD_GRAYSCALE
+        paths = [join_paths(self.root_folder, self._files[i]) for i in indices]
+        if not paths or not all(p.lower().endswith(".bmp") for p in paths):
+            return None
+        try:
+            from wtracker_tpu.runtime import native
+
+            if not native.native_available():
+                return None
+            h, w = self._frame_shape[:2]
+            return native.load_batch_bmp(paths, h, w, gray=gray)
+        except Exception:
+            return None  # any native hiccup falls back to the cv2 loop
 
     def __iter__(self) -> "FrameStream":
         return FrameStream(self)
