@@ -216,6 +216,20 @@ class DataAnalyzer:
         idx = self.data["frame"].to_numpy(dtype=int, copy=False)
         self.data["precise_error"] = errors[idx]
 
+    def calc_precise_error_experimental(
+        self,
+        worm_reader: FrameReader,
+        background: np.ndarray,
+        diff_thresh: float = 20,
+        num_workers: int | None = None,
+        chunk_size: int = 2000,
+    ) -> None:
+        """API-parity alias of the reference's threaded variant
+        (data_analyzer.py:218-287); here the batched device kernel replaces
+        the thread pool outright (``num_workers``/``chunk_size`` accepted for
+        compatibility)."""
+        self.calc_precise_error(worm_reader, background, diff_thresh, batched=True)
+
     @staticmethod
     def _precise_batched(background, wrm_bboxes, mic_bboxes, frames, worm_reader, diff_thresh):
         from wtracker_tpu.eval.error_calculator import precise_error_batched

@@ -306,25 +306,14 @@ def preprocess_batch(frames: jnp.ndarray, imgsz: tuple[int, int]) -> tuple[jnp.n
     """uint8 (B, H, W[, C]) frames → normalized letterboxed (B, h, w, 3) f32.
 
     Grayscale inputs broadcast to 3 channels (the reference converts gray→BGR
-    before YOLO, yolo_controller.py:70).  Returns the tensor and the letterbox
-    geometry for mapping boxes back to source coordinates.
+    before YOLO, yolo_controller.py:70).  The resize runs as two constant
+    interpolation matmuls (MXU-friendly, :mod:`wtracker_tpu.ops.image`).
+    Returns the tensor and the letterbox geometry for mapping boxes back to
+    source coordinates.
     """
-    if frames.ndim == 3:
-        frames = frames[..., None]
-    if frames.shape[-1] == 1:
-        frames = jnp.broadcast_to(frames, (*frames.shape[:-1], 3))
+    from wtracker_tpu.ops.image import letterbox
 
-    src_hw = frames.shape[1:3]
-    scale, new_h, new_w, pad_top, pad_left = letterbox_params(src_hw, imgsz)
-
-    x = frames.astype(jnp.float32) / 255.0
-    x = jax.image.resize(x, (frames.shape[0], new_h, new_w, 3), method="bilinear")
-    x = jnp.pad(
-        x,
-        ((0, 0), (pad_top, imgsz[0] - new_h - pad_top), (pad_left, imgsz[1] - new_w - pad_left), (0, 0)),
-        constant_values=114 / 255.0,
-    )
-    return x, (scale, pad_top, pad_left)
+    return letterbox(frames, imgsz)
 
 
 def detect_top1(

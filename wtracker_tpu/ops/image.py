@@ -1,0 +1,109 @@
+"""Image ops shaped for the MXU: matmul-form resizing, letterboxing, crops.
+
+TPU-native replacements for the reference's OpenCV preprocessing
+(view_controller.py:52-61 padding/crops; ultralytics letterbox resize).
+
+The key trick: for static shapes, bilinear resize is two constant
+interpolation matrices — ``out = A_h @ x @ A_wᵀ`` — which XLA executes on the
+MXU instead of the gather machinery generic resize lowers to.  The matrices
+are built once at trace time (numpy) and folded into the program.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=64)
+def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) bilinear interpolation matrix (half-pixel centers,
+    matching ``jax.image.resize``/OpenCV INTER_LINEAR conventions)."""
+    out = np.zeros((n_out, n_in), dtype=np.float32)
+    scale = n_in / n_out
+    for i in range(n_out):
+        src = (i + 0.5) * scale - 0.5
+        lo = int(np.floor(src))
+        frac = src - lo
+        lo_c = np.clip(lo, 0, n_in - 1)
+        hi_c = np.clip(lo + 1, 0, n_in - 1)
+        out[i, lo_c] += 1.0 - frac
+        out[i, hi_c] += frac
+    return out
+
+
+def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize of ``(..., H, W[, C])`` images via two matmuls.
+
+    Channel-last inputs are handled by contracting over the spatial axes
+    explicitly, so any leading batch dims are supported.
+    """
+    h_out, w_out = out_hw
+    has_c = x.ndim >= 3 and x.shape[-1] in (1, 3, 4) and x.shape[-2] != x.shape[-1]
+    # treat trailing axis as channels only when a (..., H, W, C) layout is clear
+    if x.ndim >= 3 and x.shape[-1] in (1, 3):
+        h_in, w_in = x.shape[-3], x.shape[-2]
+        a_h = jnp.asarray(_interp_matrix(h_in, h_out))
+        a_w = jnp.asarray(_interp_matrix(w_in, w_out))
+        y = jnp.einsum("oh,...hwc->...owc", a_h, x.astype(jnp.float32))
+        return jnp.einsum("pw,...owc->...opc", a_w, y)
+    h_in, w_in = x.shape[-2], x.shape[-1]
+    a_h = jnp.asarray(_interp_matrix(h_in, h_out))
+    a_w = jnp.asarray(_interp_matrix(w_in, w_out))
+    y = jnp.einsum("oh,...hw->...ow", a_h, x.astype(jnp.float32))
+    return jnp.einsum("pw,...ow->...op", a_w, y)
+
+
+def letterbox(
+    frames: jnp.ndarray,
+    imgsz: tuple[int, int],
+    pad_value: float = 114 / 255.0,
+) -> tuple[jnp.ndarray, tuple[float, int, int]]:
+    """Ratio-preserving resize + center padding of (B, H, W[, C]) frames.
+
+    Returns normalized (B, h, w, 3) f32 in [0, 1] plus the (scale, pad_top,
+    pad_left) geometry for mapping boxes back.  Gray inputs broadcast to 3
+    channels (the reference converts gray→BGR before YOLO).
+    """
+    if frames.ndim == 3:
+        frames = frames[..., None]
+    if frames.shape[-1] == 1:
+        frames = jnp.broadcast_to(frames, (*frames.shape[:-1], 3))
+
+    sh, sw = frames.shape[1:3]
+    dh, dw = imgsz
+    scale = min(dh / sh, dw / sw)
+    new_h, new_w = round(sh * scale), round(sw * scale)
+    pad_top = (dh - new_h) // 2
+    pad_left = (dw - new_w) // 2
+
+    x = frames.astype(jnp.float32) / 255.0
+    x = resize_bilinear(x, (new_h, new_w))
+    x = jnp.pad(
+        x,
+        ((0, 0), (pad_top, dh - new_h - pad_top), (pad_left, dw - new_w - pad_left), (0, 0)),
+        constant_values=pad_value,
+    )
+    return x, (scale, pad_top, pad_left)
+
+
+def replicate_pad(frame: jnp.ndarray, pad_xy: tuple[int, int]) -> jnp.ndarray:
+    """Edge-replicate padding by (pad_x, pad_y) on each side — the world
+    padding of the view controller (view_controller.py:52-61), jit-safe."""
+    pad_x, pad_y = pad_xy
+    widths = [(pad_y, pad_y), (pad_x, pad_x)] + [(0, 0)] * (frame.ndim - 2)
+    return jnp.pad(frame, widths, mode="edge")
+
+
+def crop_views(
+    frames: jnp.ndarray, top_lefts: jnp.ndarray, view_hw: tuple[int, int]
+) -> jnp.ndarray:
+    """Batched dynamic crops: (B, H, W) frames + (B, 2) (x, y) → (B, h, w)."""
+
+    def one(frame, tl):
+        return jax.lax.dynamic_slice(frame, (tl[1], tl[0]), view_hw)
+
+    return jax.vmap(one)(frames, top_lefts)
