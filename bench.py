@@ -51,11 +51,13 @@ def main() -> None:
     N_CYCLES = int(os.environ.get("BENCH_CYCLES", "12"))
     REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 
-    # flagship models: YOLOv8s @416 bf16 + the reference's shipped ResMLP
-    det_model = YoloV8(nc=1, scale="s", compute_dtype=jnp.bfloat16)
-    det_vars = det_model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 416, 416, 3), jnp.float32), train=False
-    )
+    # flagship models: YOLOv8s @416 bf16 (BN-fused inference form) + the
+    # reference's shipped ResMLP
+    from wtracker_tpu.models.yolov8 import YoloV8Detector, fuse_conv_bn
+
+    _raw = YoloV8Detector.init_random(nc=1, scale="s", imgsz=(416, 416), compute_dtype=jnp.bfloat16, seed=0)
+    det_model = YoloV8(nc=1, scale="s", compute_dtype=jnp.bfloat16, fused=True)
+    det_vars = fuse_conv_bn(_raw.variables)
 
     resmlp_path = "/root/reference/models/ResMLP(imaging-200ms_pred-40ms_moving-50ms).pt"
     if os.path.exists(resmlp_path):

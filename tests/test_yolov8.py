@@ -131,3 +131,22 @@ def test_scale_s_shapes():
     det = YoloV8Detector.init_random(nc=1, scale="s", imgsz=(64, 64), seed=0)
     n_params = sum(x.size for x in jax.tree.leaves(det.variables["params"]))
     assert 10_000_000 < n_params < 12_000_000  # YOLOv8s ≈ 11.1M params
+
+
+def test_bn_fusion_preserves_outputs(ported):
+    """Folding BN into conv weights must not change detector outputs."""
+    import jax.numpy as jnp
+
+    _, fmodel, variables = ported
+    det = YoloV8Detector(fmodel, variables, imgsz=(64, 64), conf=0.0)
+    fused = det.fuse()
+    assert "batch_stats" not in fused.variables
+
+    frames = np.random.default_rng(2).integers(0, 255, size=(3, 64, 64), dtype=np.uint8)
+    a = np.asarray(det.detect(frames))
+    b = np.asarray(fused.detect(frames))
+    np.testing.assert_allclose(b, a, atol=1e-3, rtol=1e-4)
+
+    boxes_a, scores_a = det.raw(frames)
+    boxes_b, scores_b = fused.raw(frames)
+    np.testing.assert_allclose(np.asarray(scores_b), np.asarray(scores_a), atol=1e-4)

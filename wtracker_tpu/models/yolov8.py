@@ -53,12 +53,18 @@ def _make_divisible(x: float, divisor: int = 8) -> int:
 
 
 class ConvBN(nn.Module):
-    """Conv2d + BatchNorm + SiLU — the basic YOLO conv block (NHWC)."""
+    """Conv2d + BatchNorm + SiLU — the basic YOLO conv block (NHWC).
+
+    With ``fused=True`` the block is a biased conv + SiLU — the inference
+    deployment form after :func:`fuse_conv_bn` folds the BN statistics into
+    the kernel/bias (one fewer memory-bound op per block).
+    """
 
     out_ch: int
     kernel: int = 1
     stride: int = 1
     compute_dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -68,17 +74,18 @@ class ConvBN(nn.Module):
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
             padding=((pad, pad), (pad, pad)),
-            use_bias=False,
+            use_bias=self.fused,
             dtype=self.compute_dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.97,  # torch BN momentum 0.03
-            epsilon=1e-3,
-            dtype=self.compute_dtype,
-            name="bn",
-        )(x)
+        if not self.fused:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.97,  # torch BN momentum 0.03
+                epsilon=1e-3,
+                dtype=self.compute_dtype,
+                name="bn",
+            )(x)
         return nn.silu(x)
 
 
@@ -88,11 +95,12 @@ class Bottleneck(nn.Module):
     out_ch: int
     shortcut: bool = True
     compute_dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = ConvBN(self.out_ch, 3, compute_dtype=self.compute_dtype, name="cv1")(x, train)
-        y = ConvBN(self.out_ch, 3, compute_dtype=self.compute_dtype, name="cv2")(y, train)
+        y = ConvBN(self.out_ch, 3, compute_dtype=self.compute_dtype, fused=self.fused, name="cv1")(x, train)
+        y = ConvBN(self.out_ch, 3, compute_dtype=self.compute_dtype, fused=self.fused, name="cv2")(y, train)
         if self.shortcut and x.shape[-1] == self.out_ch:
             y = x + y
         return y
@@ -105,20 +113,21 @@ class C2f(nn.Module):
     n: int = 1
     shortcut: bool = False
     compute_dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = self.out_ch // 2
-        y = ConvBN(2 * hidden, 1, compute_dtype=self.compute_dtype, name="cv1")(x, train)
+        y = ConvBN(2 * hidden, 1, compute_dtype=self.compute_dtype, fused=self.fused, name="cv1")(x, train)
         parts = [y[..., :hidden], y[..., hidden:]]
         for i in range(self.n):
             parts.append(
-                Bottleneck(hidden, self.shortcut, compute_dtype=self.compute_dtype, name=f"m_{i}")(
+                Bottleneck(hidden, self.shortcut, compute_dtype=self.compute_dtype, fused=self.fused, name=f"m_{i}")(
                     parts[-1], train
                 )
             )
         y = jnp.concatenate(parts, axis=-1)
-        return ConvBN(self.out_ch, 1, compute_dtype=self.compute_dtype, name="cv2")(y, train)
+        return ConvBN(self.out_ch, 1, compute_dtype=self.compute_dtype, fused=self.fused, name="cv2")(y, train)
 
 
 class SPPF(nn.Module):
@@ -127,11 +136,12 @@ class SPPF(nn.Module):
     out_ch: int
     pool: int = 5
     compute_dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = x.shape[-1] // 2
-        y = ConvBN(hidden, 1, compute_dtype=self.compute_dtype, name="cv1")(x, train)
+        y = ConvBN(hidden, 1, compute_dtype=self.compute_dtype, fused=self.fused, name="cv1")(x, train)
         pools = [y]
         for _ in range(3):
             pools.append(
@@ -142,7 +152,7 @@ class SPPF(nn.Module):
                     padding=((self.pool // 2, self.pool // 2),) * 2,
                 )
             )
-        return ConvBN(self.out_ch, 1, compute_dtype=self.compute_dtype, name="cv2")(
+        return ConvBN(self.out_ch, 1, compute_dtype=self.compute_dtype, fused=self.fused, name="cv2")(
             jnp.concatenate(pools, axis=-1), train
         )
 
@@ -153,6 +163,7 @@ class DetectHead(nn.Module):
     nc: int
     reg_max: int = 16
     compute_dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
@@ -162,8 +173,8 @@ class DetectHead(nn.Module):
 
         box_out, cls_out = [], []
         for i, f in enumerate(feats):
-            b = ConvBN(c2, 3, compute_dtype=self.compute_dtype, name=f"cv2_{i}_0")(f, train)
-            b = ConvBN(c2, 3, compute_dtype=self.compute_dtype, name=f"cv2_{i}_1")(b, train)
+            b = ConvBN(c2, 3, compute_dtype=self.compute_dtype, fused=self.fused, name=f"cv2_{i}_0")(f, train)
+            b = ConvBN(c2, 3, compute_dtype=self.compute_dtype, fused=self.fused, name=f"cv2_{i}_1")(b, train)
             # bias priors (trainability): box bins start at 1.0, class logits
             # at a ~1% objectness prior — the standard YOLO head init
             b = nn.Conv(
@@ -174,8 +185,8 @@ class DetectHead(nn.Module):
                 name=f"cv2_{i}_2",
             )(b)
 
-            c = ConvBN(c3, 3, compute_dtype=self.compute_dtype, name=f"cv3_{i}_0")(f, train)
-            c = ConvBN(c3, 3, compute_dtype=self.compute_dtype, name=f"cv3_{i}_1")(c, train)
+            c = ConvBN(c3, 3, compute_dtype=self.compute_dtype, fused=self.fused, name=f"cv3_{i}_0")(f, train)
+            c = ConvBN(c3, 3, compute_dtype=self.compute_dtype, fused=self.fused, name=f"cv3_{i}_1")(c, train)
             c = nn.Conv(
                 self.nc,
                 (1, 1),
@@ -196,6 +207,7 @@ class YoloV8(nn.Module):
     scale: str = "s"
     reg_max: int = 16
     compute_dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -211,16 +223,16 @@ class YoloV8(nn.Module):
         x = x.astype(dt)
 
         # backbone
-        x = ConvBN(chn(64), 3, 2, dt, name="b0")(x, train)  # /2
-        x = ConvBN(chn(128), 3, 2, dt, name="b1")(x, train)  # /4
-        x = C2f(chn(128), rep(3), True, dt, name="b2")(x, train)
-        x = ConvBN(chn(256), 3, 2, dt, name="b3")(x, train)  # /8
-        p3 = C2f(chn(256), rep(6), True, dt, name="b4")(x, train)
-        x = ConvBN(chn(512), 3, 2, dt, name="b5")(p3, train)  # /16
-        p4 = C2f(chn(512), rep(6), True, dt, name="b6")(x, train)
-        x = ConvBN(chn(1024), 3, 2, dt, name="b7")(p4, train)  # /32
-        x = C2f(chn(1024), rep(3), True, dt, name="b8")(x, train)
-        p5 = SPPF(chn(1024), 5, dt, name="b9")(x, train)
+        x = ConvBN(chn(64), 3, 2, dt, fused=self.fused, name="b0")(x, train)  # /2
+        x = ConvBN(chn(128), 3, 2, dt, fused=self.fused, name="b1")(x, train)  # /4
+        x = C2f(chn(128), rep(3), True, dt, fused=self.fused, name="b2")(x, train)
+        x = ConvBN(chn(256), 3, 2, dt, fused=self.fused, name="b3")(x, train)  # /8
+        p3 = C2f(chn(256), rep(6), True, dt, fused=self.fused, name="b4")(x, train)
+        x = ConvBN(chn(512), 3, 2, dt, fused=self.fused, name="b5")(p3, train)  # /16
+        p4 = C2f(chn(512), rep(6), True, dt, fused=self.fused, name="b6")(x, train)
+        x = ConvBN(chn(1024), 3, 2, dt, fused=self.fused, name="b7")(p4, train)  # /32
+        x = C2f(chn(1024), rep(3), True, dt, fused=self.fused, name="b8")(x, train)
+        p5 = SPPF(chn(1024), 5, dt, fused=self.fused, name="b9")(x, train)
 
         # PAN neck — top-down
         def up2(t):
@@ -228,19 +240,47 @@ class YoloV8(nn.Module):
             return jax.image.resize(t, (n, h * 2, w * 2, c), method="nearest")
 
         x = jnp.concatenate([up2(p5), p4], axis=-1)
-        n4 = C2f(chn(512), rep(3), False, dt, name="n12")(x, train)
+        n4 = C2f(chn(512), rep(3), False, dt, fused=self.fused, name="n12")(x, train)
         x = jnp.concatenate([up2(n4), p3], axis=-1)
-        n3 = C2f(chn(256), rep(3), False, dt, name="n15")(x, train)  # /8 out
+        n3 = C2f(chn(256), rep(3), False, dt, fused=self.fused, name="n15")(x, train)  # /8 out
 
         # bottom-up
-        x = ConvBN(chn(256), 3, 2, dt, name="n16")(n3, train)
+        x = ConvBN(chn(256), 3, 2, dt, fused=self.fused, name="n16")(n3, train)
         x = jnp.concatenate([x, n4], axis=-1)
-        n4out = C2f(chn(512), rep(3), False, dt, name="n18")(x, train)  # /16 out
-        x = ConvBN(chn(512), 3, 2, dt, name="n19")(n4out, train)
+        n4out = C2f(chn(512), rep(3), False, dt, fused=self.fused, name="n18")(x, train)  # /16 out
+        x = ConvBN(chn(512), 3, 2, dt, fused=self.fused, name="n19")(n4out, train)
         x = jnp.concatenate([x, p5], axis=-1)
-        n5out = C2f(chn(1024), rep(3), False, dt, name="n21")(x, train)  # /32 out
+        n5out = C2f(chn(1024), rep(3), False, dt, fused=self.fused, name="n21")(x, train)  # /32 out
 
-        return DetectHead(self.nc, self.reg_max, dt, name="head")([n3, n4out, n5out], train)
+        return DetectHead(self.nc, self.reg_max, dt, fused=self.fused, name="head")([n3, n4out, n5out], train)
+
+
+# ---------------------------------------------------------------------------
+# BatchNorm folding (inference deployment)
+# ---------------------------------------------------------------------------
+
+
+def fuse_conv_bn(variables: dict, eps: float = 1e-3) -> dict:
+    """Fold every ConvBN's BatchNorm into its conv kernel + bias.
+
+    Returns variables for the same architecture with ``fused=True`` (biased
+    convs, no batch_stats): ``W' = W · s/√(v+ε)``, ``b' = β − μ·s/√(v+ε)``.
+    """
+    import numpy as _np
+
+    params = jax.tree.map(_np.asarray, variables["params"])
+    stats = jax.tree.map(_np.asarray, variables.get("batch_stats", {}))
+
+    def walk(p: dict, s: dict) -> dict:
+        if "conv" in p and "bn" in p and "bn" in s:
+            factor = p["bn"]["scale"] / _np.sqrt(s["bn"]["var"] + eps)
+            kernel = p["conv"]["kernel"] * factor  # broadcast over out-channels
+            bias = p["bn"]["bias"] - s["bn"]["mean"] * factor
+            return {"conv": {"kernel": kernel, "bias": bias}}
+        return {k: walk(v, s.get(k, {})) if isinstance(v, dict) else v for k, v in p.items()}
+
+    fused = walk(params, stats)
+    return {"params": jax.tree.map(jnp.asarray, fused)}
 
 
 # ---------------------------------------------------------------------------
@@ -371,6 +411,22 @@ class YoloV8Detector:
     def detect(self, frames) -> jnp.ndarray:
         """(B, H, W[, C]) uint8 → (B, 4) xywh in source pixels; NaN = no hit."""
         return self._detect_fn(self.variables, jnp.asarray(frames))
+
+    def fuse(self) -> "YoloV8Detector":
+        """Inference-fused copy: BN folded into conv kernels/biases."""
+        fused_model = YoloV8(
+            nc=self.model.nc,
+            scale=self.model.scale,
+            reg_max=self.model.reg_max,
+            compute_dtype=self.model.compute_dtype,
+            fused=True,
+        )
+        return YoloV8Detector(
+            model=fused_model,
+            variables=fuse_conv_bn(self.variables),
+            imgsz=self.imgsz,
+            conf=self.conf,
+        )
 
     def raw(self, frames) -> tuple[jnp.ndarray, jnp.ndarray]:
         """All decoded boxes + scores (for general NMS / evaluation)."""
