@@ -114,3 +114,28 @@ def test_live_loop_stream_batch(setup):
     np.testing.assert_allclose(
         np.asarray(logs.worm_bboxes[:, 0]), np.asarray(single.worm_bboxes), atol=1e-5, equal_nan=True
     )
+
+
+def test_flat_stream_batch_matches_vmap(setup):
+    """Batched-controller mode produces the same logs as vmap-of-streams."""
+    from wtracker_tpu.sim.engine_live import make_stream_batch_flat
+
+    exp, timing, params = setup
+    scene = SyntheticScene()
+    S = 3
+    trajs = np.stack([make_trajectory(400, (500, 600), seed=i) for i in range(S)])
+    model, variables = _tiny_detector()
+    predictor = _tiny_predictor()
+
+    cfg = LiveLoopConfig(imgsz=(64, 64), conf=0.0, ring_size=32, log_mode=True, max_dist_per_pred=20.0)
+    ctl_v = make_stream_batch(params, cfg, scene, trajs, model, variables, predictor)
+    ctl_f = make_stream_batch_flat(params, cfg, scene, trajs, model, variables, predictor)
+
+    init_pos = np.tile(np.asarray(exp.init_position), (S, 1))
+    logs_v = run_engine_streams(params, ctl_v, init_pos, 5)
+    logs_f = run_engine_streams(params, ctl_f, init_pos, 5, batched_controller=True)
+
+    np.testing.assert_array_equal(np.asarray(logs_f.positions), np.asarray(logs_v.positions))
+    np.testing.assert_allclose(
+        np.asarray(logs_f.worm_bboxes), np.asarray(logs_v.worm_bboxes), atol=2e-4, equal_nan=True
+    )

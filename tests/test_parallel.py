@@ -50,7 +50,7 @@ def test_sharded_engine_matches_unsharded(setup):
     def init():
         return {"csv": jnp.asarray(csvs, dtype=jnp.float64)}
 
-    def decide(state, ctx):
+    def decide(consts, state, ctx):
         # same math as csv_controller but reading from carried state
         f = ctx.cycle * params.cycle_n + params.imaging_n
         bbox = _gather_rows(state["csv"], f - params.pred_n)
@@ -63,7 +63,7 @@ def test_sharded_engine_matches_unsharded(setup):
         valid = jnp.isfinite(bbox).all()
         return state, jnp.where(valid, jnp.round(target), 0.0).astype(jnp.int32)
 
-    def predict_all(state, cycle_idx, positions):
+    def predict_all(consts, state, cycle_idx, positions):
         idx = cycle_idx * params.cycle_n + jnp.arange(params.cycle_n)
         return _gather_rows(state["csv"], idx)
 

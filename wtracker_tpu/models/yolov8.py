@@ -317,7 +317,10 @@ def decode_predictions(
 
     dist = box_flat.reshape(b, -1, 4, reg_max).astype(jnp.float32)
     bins = jnp.arange(reg_max, dtype=jnp.float32)
-    ltrb = jnp.sum(jax.nn.softmax(dist, axis=-1) * bins, axis=-1)  # (B, A, 4)
+    # softmax expectation with a single divide per (B, A, 4) cell instead of
+    # dividing all reg_max bins (softmax) — the divide was a top HLO cost
+    e = jnp.exp(dist - jnp.max(dist, axis=-1, keepdims=True))
+    ltrb = jnp.sum(e * bins, axis=-1) / jnp.sum(e, axis=-1)  # (B, A, 4)
 
     tl = (anchors[None] - ltrb[..., :2]) * strides[None]
     br = (anchors[None] + ltrb[..., 2:]) * strides[None]

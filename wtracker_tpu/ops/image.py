@@ -80,7 +80,7 @@ def letterbox(
     pad_top = (dh - new_h) // 2
     pad_left = (dw - new_w) // 2
 
-    x = frames.astype(jnp.float32) / 255.0
+    x = frames.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
     x = resize_bilinear(x, (new_h, new_w))
     x = jnp.pad(
         x,

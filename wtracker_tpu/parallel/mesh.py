@@ -61,31 +61,44 @@ def run_engine_sharded(
     program with no cross-chip communication in the cycle loop.
     """
     shard = stream_sharding(mesh, axis)
-
-    def constrain(tree):
-        return jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, shard), tree)
-
-    @jax.jit
-    def run(init_pos):
-        pos0 = _clamp(jnp.asarray(init_pos, dtype=jnp.int32), params)
-        pos0 = jax.lax.with_sharding_constraint(pos0, shard)
-        s = pos0.shape[0]
-        prev0 = jnp.broadcast_to(pos0[:, None, :], (s, params.cycle_n, 2)).astype(jnp.int32)
-        carry0 = (pos0, prev0, constrain(controller.init()))
-
-        step = make_cycle_step(params, controller)
-        batched = jax.vmap(step, in_axes=((0, 0, 0), None))
-
-        def shard_step(carry, c):
-            carry, out = batched(carry, c)
-            return jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, shard), carry), out
-
-        _, logs = jax.lax.scan(shard_step, carry0, jnp.arange(n_cycles, dtype=jnp.int32))
-        return logs
+    run = _sharded_runner(params, controller, mesh, axis)
 
     with mesh:
         init = jax.device_put(np.asarray(init_positions, dtype=np.int32), shard)
-        return run(init)
+        consts = jax.device_put(controller.consts, replicated(mesh))
+        state0 = jax.tree.map(lambda x: jax.device_put(x, shard), controller.init())
+        return run(consts, init, state0, jnp.arange(n_cycles, dtype=jnp.int32))
+
+
+_SHARDED_CACHE: dict = {}
+
+
+def _sharded_runner(params, controller, mesh: Mesh, axis: str):
+    key = (params, controller.init, controller.decide, controller.predict_all, mesh, axis)
+    if key not in _SHARDED_CACHE:
+        shard = stream_sharding(mesh, axis)
+        step = make_cycle_step(params, controller)
+        batched = jax.vmap(step, in_axes=(None, (0, 0, 0), None))
+
+        @jax.jit
+        def run(consts, init_pos, state0, cycles):
+            pos0 = _clamp(jnp.asarray(init_pos, dtype=jnp.int32), params)
+            pos0 = jax.lax.with_sharding_constraint(pos0, shard)
+            s = pos0.shape[0]
+            prev0 = jnp.broadcast_to(pos0[:, None, :], (s, params.cycle_n, 2)).astype(jnp.int32)
+            carry0 = (pos0, prev0, state0)
+
+            def shard_step(carry, c):
+                cs, inner = carry
+                inner, out = batched(cs, inner, c)
+                inner = jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, shard), inner)
+                return (cs, inner), out
+
+            _, logs = jax.lax.scan(shard_step, (consts, carry0), cycles)
+            return logs
+
+        _SHARDED_CACHE[key] = run
+    return _SHARDED_CACHE[key]
 
 
 # ---------------------------------------------------------------------------

@@ -109,15 +109,23 @@ class DecideCtx(NamedTuple):
 class CycleController(NamedTuple):
     """A controller expressed as pure functions over a carried state.
 
-    ``init``        — () -> state pytree.
-    ``decide``      — (state, DecideCtx) -> (state, (2,) int32 move).
-    ``predict_all`` — (state, cycle, positions (cycle_n,2)) -> (cycle_n, 4) f64
-                      worm bboxes in *absolute* frame coordinates (NaN = none).
+    ``init``        — () -> state pytree (per-stream when vmapped).
+    ``decide``      — (consts, state, DecideCtx) -> (state, (2,) int32 move).
+    ``predict_all`` — (consts, state, cycle, positions (cycle_n,2)) ->
+                      (cycle_n, 4) f64 worm bboxes in *absolute* frame
+                      coordinates (NaN = none).
+    ``consts``      — loop-invariant data (model weights, playback tables).
+                      Threaded into jit as an argument and through the scan as
+                      a pass-through carry: large arrays must NEVER be closure
+                      constants, or XLA re-stages them every while-loop
+                      iteration (measured 50× slowdown on TPU).  Shared across
+                      streams (vmap broadcasts it).
     """
 
     init: Callable[[], Any]
-    decide: Callable[[Any, DecideCtx], tuple[Any, jnp.ndarray]]
-    predict_all: Callable[[Any, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+    decide: Callable[[Any, Any, DecideCtx], tuple[Any, jnp.ndarray]]
+    predict_all: Callable[[Any, Any, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+    consts: Any = ()
 
 
 class CycleLog(NamedTuple):
@@ -138,15 +146,19 @@ def _clamp(pos: jnp.ndarray, params: EngineParams) -> jnp.ndarray:
 
 
 def make_cycle_step(params: EngineParams, controller: CycleController):
-    """Build the scan body simulating one full cycle."""
+    """Build the scan body simulating one full cycle.
+
+    Signature: ``cycle_step(consts, (pos, prev_positions, state), cycle_idx)``
+    — ``consts`` is broadcast (not vmapped) across streams.
+    """
 
     weights = np.asarray(params.motor_weights, dtype=np.float64)
 
-    def cycle_step(carry, cycle_idx):
+    def cycle_step(consts, carry, cycle_idx):
         pos, prev_positions, state = carry
 
         ctx = DecideCtx(cycle=cycle_idx, position=pos, prev_positions=prev_positions)
-        state, dxdy = controller.decide(state, ctx)
+        state, dxdy = controller.decide(consts, state, ctx)
 
         # Motor: residual-carrying integer rounding, unrolled over the (small,
         # static) moving phase, with the per-step position clamp.
@@ -169,7 +181,7 @@ def make_cycle_step(params: EngineParams, controller: CycleController):
             axis=0,
         )
 
-        worm_bboxes = controller.predict_all(state, cycle_idx, positions)
+        worm_bboxes = controller.predict_all(consts, state, cycle_idx, positions)
 
         new_carry = (p, positions, state)
         return new_carry, CycleLog(positions=positions, worm_bboxes=worm_bboxes)
@@ -182,6 +194,63 @@ def init_carry(params: EngineParams, controller: CycleController, init_position)
     pos0 = _clamp(jnp.asarray(init_position, dtype=jnp.int32), params)
     prev0 = jnp.broadcast_to(pos0, (params.cycle_n, 2)).astype(jnp.int32)
     return (pos0, prev0, controller.init())
+
+
+# Compiled-runner cache: the jitted scan depends only on the engine params and
+# the controller's functions (consts/carry/cycles are runtime arguments), so
+# repeated run_engine* calls must reuse one jit object — a fresh @jax.jit
+# closure per call would retrace AND recompile every invocation (measured 30s
+# per call through the remote-compile tunnel).
+_RUNNER_CACHE: dict = {}
+
+
+def _controller_key(controller: CycleController) -> tuple:
+    return (controller.init, controller.decide, controller.predict_all)
+
+
+def _single_runner(params: EngineParams, controller: CycleController):
+    key = ("single", params, _controller_key(controller))
+    if key not in _RUNNER_CACHE:
+        step = make_cycle_step(params, controller)
+
+        @jax.jit
+        def run(consts, carry0, cycles):
+            def body(c, cycle):
+                cs, inner = c
+                inner, out = step(cs, inner, cycle)
+                return (cs, inner), out
+
+            (_, final), logs = jax.lax.scan(body, (consts, carry0), cycles)
+            return final, logs
+
+        _RUNNER_CACHE[key] = run
+    return _RUNNER_CACHE[key]
+
+
+def _stream_runner(params: EngineParams, controller: CycleController, batched_controller: bool = False):
+    key = ("streams", params, _controller_key(controller), batched_controller)
+    if key not in _RUNNER_CACHE:
+        step = make_cycle_step(params, controller)
+        if batched_controller:
+            # controller handles the stream axis itself (flat MXU batches);
+            # only the motor/position machinery is vmapped — see
+            # make_batched_cycle_step
+            batched = make_batched_cycle_step(params, controller)
+        else:
+            batched = jax.vmap(step, in_axes=(None, (0, 0, 0), None))
+
+        @jax.jit
+        def run(consts, carry0, cycles):
+            def body(c, cycle):
+                cs, inner = c
+                inner, out = batched(cs, inner, cycle)
+                return (cs, inner), out
+
+            (_, final), logs = jax.lax.scan(body, (consts, carry0), cycles)
+            return final, logs
+
+        _RUNNER_CACHE[key] = run
+    return _RUNNER_CACHE[key]
 
 
 def run_engine(
@@ -205,16 +274,52 @@ def run_engine(
     (and the final carry when requested).
     """
 
-    @partial(jax.jit, static_argnums=())
-    def run(carry0, cycles):
-        step = make_cycle_step(params, controller)
-        return jax.lax.scan(step, carry0, cycles)
-
+    run = _single_runner(params, controller)
     if carry is None:
         carry = init_carry(params, controller, init_position)
     cycles = jnp.arange(start_cycle, start_cycle + n_cycles, dtype=jnp.int32)
-    final_carry, logs = run(carry, cycles)
+    final_carry, logs = run(controller.consts, carry, cycles)
     return (logs, final_carry) if return_carry else logs
+
+
+def make_batched_cycle_step(params: EngineParams, controller: CycleController):
+    """Scan body where the *controller* owns the stream axis.
+
+    ``decide``/``predict_all`` receive stacked (S, ...) inputs and return
+    stacked outputs, letting them form flat S·frames device batches (bigger
+    matmuls than vmap-of-streams produces).  The motor/clamp machinery is
+    vmapped around them.
+    """
+    weights = np.asarray(params.motor_weights, dtype=np.float64)
+
+    def motor(pos, dxdy):
+        d = dxdy.astype(jnp.float64)
+        resid = jnp.zeros_like(d)
+        moving_positions = []
+        p = pos
+        for w in weights:
+            moving_positions.append(p)
+            raw = w * d + resid
+            s = jnp.round(raw)
+            resid = raw - s
+            p = _clamp(p + s.astype(pos.dtype), params)
+        positions = jnp.concatenate(
+            [jnp.broadcast_to(pos, (params.imaging_n, 2)), jnp.stack(moving_positions, axis=0)],
+            axis=0,
+        )
+        return p, positions
+
+    motor_v = jax.vmap(motor)
+
+    def cycle_step(consts, carry, cycle_idx):
+        pos, prev_positions, state = carry
+        ctx = DecideCtx(cycle=cycle_idx, position=pos, prev_positions=prev_positions)
+        state, dxdy = controller.decide(consts, state, ctx)
+        p, positions = motor_v(pos, dxdy)
+        worm_bboxes = controller.predict_all(consts, state, cycle_idx, positions)
+        return (p, positions, state), CycleLog(positions=positions, worm_bboxes=worm_bboxes)
+
+    return cycle_step
 
 
 def run_engine_streams(
@@ -222,27 +327,26 @@ def run_engine_streams(
     controller: CycleController,
     init_positions: jnp.ndarray,
     n_cycles: int,
+    batched_controller: bool = False,
 ) -> CycleLog:
     """Run S independent worm streams in one compiled program.
 
     ``controller.init()`` must return per-stream state (leading axis S);
     stream-specific data (trajectories, detection rings) lives in that state.
+    With ``batched_controller=True`` the controller's decide/predict_all
+    receive the full (S, ...) batch themselves instead of being vmapped.
     Returns logs with leading axes ``(n_cycles, S, cycle_n)``.
     """
 
-    @jax.jit
-    def run(init_pos):
-        pos0 = _clamp(jnp.asarray(init_pos, dtype=jnp.int32), params)
-        s = pos0.shape[0]
-        prev0 = jnp.broadcast_to(pos0[:, None, :], (s, params.cycle_n, 2)).astype(jnp.int32)
-        carry0 = (pos0, prev0, controller.init())
+    run = _stream_runner(params, controller, batched_controller)
 
-        step = make_cycle_step(params, controller)
-        batched = jax.vmap(step, in_axes=((0, 0, 0), None))
-        _, logs = jax.lax.scan(batched, carry0, jnp.arange(n_cycles, dtype=jnp.int32))
-        return logs
+    pos0 = _clamp(jnp.asarray(init_positions, dtype=jnp.int32), params)
+    s = pos0.shape[0]
+    prev0 = jnp.broadcast_to(pos0[:, None, :], (s, params.cycle_n, 2)).astype(jnp.int32)
+    carry0 = (pos0, prev0, controller.init())
 
-    return run(init_positions)
+    _, logs = run(controller.consts, carry0, jnp.arange(n_cycles, dtype=jnp.int32))
+    return logs
 
 
 # ---------------------------------------------------------------------------
@@ -309,7 +413,7 @@ def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(valid[..., None], rows, jnp.nan)
 
 
-def _csv_predict_all(csv: jnp.ndarray, params: EngineParams):
+def _csv_predict_all(params: EngineParams):
     """predict_all for the playback family: the cycle's ground-truth rows.
 
     The host path shifts rows into camera coordinates and back before logging
@@ -318,7 +422,8 @@ def _csv_predict_all(csv: jnp.ndarray, params: EngineParams):
     bit-identical logs.
     """
 
-    def predict_all(state, cycle_idx, positions):
+    def predict_all(consts, state, cycle_idx, positions):
+        csv = consts["csv"]
         idx = cycle_idx * params.cycle_n + jnp.arange(params.cycle_n)
         rows = _gather_rows(csv, idx)
         cam_tl = (
@@ -352,11 +457,11 @@ def _decision_cam_topleft(params: EngineParams, ctx: DecideCtx) -> jnp.ndarray:
 
 def csv_controller(csv_data: np.ndarray, params: EngineParams) -> CycleController:
     """Ground-truth playback controller (engine twin of CsvController)."""
-    csv = jnp.asarray(csv_data, dtype=jnp.float64)
+    consts = {"csv": jnp.asarray(csv_data, dtype=jnp.float64)}
 
-    def decide(state, ctx: DecideCtx):
+    def decide(consts, state, ctx: DecideCtx):
         f = ctx.cycle * params.cycle_n + params.imaging_n
-        bbox = _gather_rows(csv, f - params.pred_n)
+        bbox = _gather_rows(consts["csv"], f - params.pred_n)
         cam_tl = _decision_cam_topleft(params, ctx)
 
         # match host arithmetic order: shift into camera coords, then center
@@ -371,18 +476,19 @@ def csv_controller(csv_data: np.ndarray, params: EngineParams) -> CycleControlle
     return CycleController(
         init=lambda: (),
         decide=decide,
-        predict_all=_csv_predict_all(csv, params),
+        predict_all=_csv_predict_all(params),
+        consts=consts,
     )
 
 
 def optimal_controller(csv_data: np.ndarray, params: EngineParams) -> CycleController:
     """Oracle controller (engine twin of OptimalController)."""
     csv = jnp.asarray(csv_data, dtype=jnp.float64)
-    centers = csv[:, :2] + csv[:, 2:] / 2
+    consts = {"csv": csv, "centers": csv[:, :2] + csv[:, 2:] / 2}
 
-    def decide(state, ctx: DecideCtx):
+    def decide(consts, state, ctx: DecideCtx):
         start = (ctx.cycle + 1) * params.cycle_n
-        nxt = _gather_rows(centers, start + jnp.arange(params.imaging_n))  # (im, 2)
+        nxt = _gather_rows(consts["centers"], start + jnp.arange(params.imaging_n))  # (im, 2)
         med = jnp.nanmedian(nxt, axis=0)
 
         cam_mid = jnp.array(
@@ -399,7 +505,8 @@ def optimal_controller(csv_data: np.ndarray, params: EngineParams) -> CycleContr
     return CycleController(
         init=lambda: (),
         decide=decide,
-        predict_all=_csv_predict_all(csv, params),
+        predict_all=_csv_predict_all(params),
+        consts=consts,
     )
 
 
@@ -415,14 +522,14 @@ def polyfit_controller(
     Invalid samples are excluded with zero fit weights (shape-stable under
     jit); the fit runs through the TPU-safe eigh-based lstsq.
     """
-    csv = jnp.asarray(csv_data, dtype=jnp.float64)
+    consts = {"csv": jnp.asarray(csv_data, dtype=jnp.float64)}
     times = jnp.asarray(np.sort(sample_times), dtype=jnp.float64)
     base_w = jnp.asarray(fit_weights, dtype=jnp.float64)
     x_eval = float(params.cycle_n + params.imaging_n // 2)
 
-    def decide(state, ctx: DecideCtx):
+    def decide(consts, state, ctx: DecideCtx):
         idx = ctx.cycle * params.cycle_n + times.astype(jnp.int32)
-        bboxes = _gather_rows(csv, idx)  # (k, 4) absolute
+        bboxes = _gather_rows(consts["csv"], idx)  # (k, 4) absolute
 
         cam_tl = jnp.stack(
             [ctx.position[0] - params.cam_w // 2, ctx.position[1] - params.cam_h // 2]
@@ -445,7 +552,8 @@ def polyfit_controller(
     return CycleController(
         init=lambda: (),
         decide=decide,
-        predict_all=_csv_predict_all(csv, params),
+        predict_all=_csv_predict_all(params),
+        consts=consts,
     )
 
 
@@ -462,15 +570,15 @@ def mlp_controller(
         max_speed_px_frame_total: clip bound in px (max speed × first pred
             offset), mirroring mlp_controllers.py:32-34.
     """
-    csv = jnp.asarray(csv_data, dtype=jnp.float64)
     io = predictor.io_config
     input_frames = jnp.asarray(io.input_frames, dtype=jnp.int32)
-    model, variables = predictor.model, predictor.variables
+    model = predictor.model
+    consts = {"csv": jnp.asarray(csv_data, dtype=jnp.float64), "mlp": predictor.variables}
 
-    def decide(state, ctx: DecideCtx):
+    def decide(consts, state, ctx: DecideCtx):
         f = ctx.cycle * params.cycle_n + params.imaging_n
         idx = (f - params.pred_n) + input_frames
-        bboxes = _gather_rows(csv, idx)  # (k, 4) absolute
+        bboxes = _gather_rows(consts["csv"], idx)  # (k, 4) absolute
 
         cam_center = jnp.array(
             [
@@ -485,7 +593,7 @@ def mlp_controller(
         feats = bboxes.at[:, :2].add(-origin).reshape(1, -1)
         feats = jnp.where(valid, feats, 0.0)  # keep the network NaN-free
 
-        pred = model.apply(variables, feats.astype(jnp.float32), train=False)
+        pred = model.apply(consts["mlp"], feats.astype(jnp.float32), train=False)
         # clip in f32 (host clips the f32 model output before widening)
         pred = jnp.clip(pred.reshape(-1), -max_speed_px_frame_total, max_speed_px_frame_total)
         pred = pred.astype(jnp.float64)
@@ -497,5 +605,6 @@ def mlp_controller(
     return CycleController(
         init=lambda: (),
         decide=decide,
-        predict_all=_csv_predict_all(csv, params),
+        predict_all=_csv_predict_all(params),
+        consts=consts,
     )

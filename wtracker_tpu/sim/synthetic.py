@@ -83,11 +83,13 @@ class SyntheticScene:
         ca, sa = jnp.cos(angle), jnp.sin(angle)
         dx = xs - worm_xy[0]
         dy = ys - worm_xy[1]
-        u = ca * dx + sa * dy
-        v = -sa * dx + ca * dy
-        worm = self.worm_intensity * jnp.exp(
-            -0.5 * ((u / self.worm_sigma_x) ** 2 + (v / self.worm_sigma_y) ** 2)
-        )
+        # reciprocal sigmas as compile-time multiplies (divides are expensive
+        # per-pixel on the VPU)
+        inv_sx = jnp.float32(1.0 / self.worm_sigma_x)
+        inv_sy = jnp.float32(1.0 / self.worm_sigma_y)
+        u = (ca * dx + sa * dy) * inv_sx
+        v = (-sa * dx + ca * dy) * inv_sy
+        worm = self.worm_intensity * jnp.exp(-0.5 * (u * u + v * v))
         return jnp.clip(bg + worm, 0, 255)
 
     def render_views(
