@@ -31,7 +31,7 @@ def main() -> None:
     from wtracker_tpu.neural.config import IOConfig
     from wtracker_tpu.sim.config import ExperimentConfig, TimingConfig
     from wtracker_tpu.sim.engine import EngineParams, headless_frame_shape, run_engine_streams
-    from wtracker_tpu.sim.engine_live import LiveLoopConfig, make_stream_batch_flat
+    from wtracker_tpu.sim.engine_live import LiveLoopConfig, make_stream_batch_fused
     from wtracker_tpu.sim.synthetic import SyntheticScene, make_trajectory
 
     # reference experiment geometry (experiments/exp0): 60 fps, 1400x1600 px,
@@ -74,16 +74,16 @@ def main() -> None:
         log_mode=True,  # detect EVERY frame, like the logging reference loop
         max_dist_per_pred=54.0,
     )
-    ctl = make_stream_batch_flat(params, cfg, SyntheticScene(), trajs, det_model, det_vars, predictor)
+    ctl = make_stream_batch_fused(params, cfg, SyntheticScene(), trajs, det_model, det_vars, predictor)
     init_pos = np.tile([700, 700], (S, 1))
 
     # warmup (compile) — fetch a value to force full execution
-    logs = run_engine_streams(params, ctl, init_pos, N_CYCLES, batched_controller=True)
+    logs = run_engine_streams(params, ctl, init_pos, N_CYCLES, delayed_log=True)
     _ = float(jnp.sum(logs.positions))
 
     t0 = time.perf_counter()
     for _ in range(REPEATS):
-        logs = run_engine_streams(params, ctl, init_pos, N_CYCLES, batched_controller=True)
+        logs = run_engine_streams(params, ctl, init_pos, N_CYCLES, delayed_log=True)
         _ = float(jnp.sum(logs.positions))  # forced device fetch per repeat
     dt = (time.perf_counter() - t0) / REPEATS
 

@@ -139,3 +139,32 @@ def test_flat_stream_batch_matches_vmap(setup):
     np.testing.assert_allclose(
         np.asarray(logs_f.worm_bboxes), np.asarray(logs_v.worm_bboxes), atol=2e-4, equal_nan=True
     )
+
+
+def test_fused_single_batch_matches_flat(setup):
+    """The fused (delayed-log) controller emits the same logs as the flat one."""
+    from wtracker_tpu.sim.engine_live import make_stream_batch_flat, make_stream_batch_fused
+
+    exp, timing, params = setup
+    scene = SyntheticScene()
+    S = 3
+    trajs = np.stack([make_trajectory(400, (500, 600), seed=i) for i in range(S)])
+    model, variables = _tiny_detector()
+    predictor = _tiny_predictor()
+
+    cfg = LiveLoopConfig(imgsz=(64, 64), conf=0.0, ring_size=32, log_mode=True, max_dist_per_pred=20.0)
+    ctl_flat = make_stream_batch_flat(params, cfg, scene, trajs, model, variables, predictor)
+    ctl_fused = make_stream_batch_fused(params, cfg, scene, trajs, model, variables, predictor)
+
+    init_pos = np.tile(np.asarray(exp.init_position), (S, 1))
+    n = 6
+    logs_flat = run_engine_streams(params, ctl_flat, init_pos, n, batched_controller=True)
+    logs_fused = run_engine_streams(params, ctl_fused, init_pos, n, delayed_log=True)
+
+    np.testing.assert_array_equal(np.asarray(logs_fused.positions), np.asarray(logs_flat.positions))
+    np.testing.assert_allclose(
+        np.asarray(logs_fused.worm_bboxes),
+        np.asarray(logs_flat.worm_bboxes),
+        atol=2e-4,
+        equal_nan=True,
+    )

@@ -227,16 +227,23 @@ def _single_runner(params: EngineParams, controller: CycleController):
     return _RUNNER_CACHE[key]
 
 
-def _stream_runner(params: EngineParams, controller: CycleController, batched_controller: bool = False):
-    key = ("streams", params, _controller_key(controller), batched_controller)
+def _stream_runner(
+    params: EngineParams,
+    controller: CycleController,
+    batched_controller: bool = False,
+    delayed_log: bool = False,
+):
+    key = ("streams", params, _controller_key(controller), batched_controller, delayed_log)
     if key not in _RUNNER_CACHE:
-        step = make_cycle_step(params, controller)
-        if batched_controller:
+        if delayed_log:
+            batched = make_delayed_cycle_step(params, controller)
+        elif batched_controller:
             # controller handles the stream axis itself (flat MXU batches);
             # only the motor/position machinery is vmapped — see
             # make_batched_cycle_step
             batched = make_batched_cycle_step(params, controller)
         else:
+            step = make_cycle_step(params, controller)
             batched = jax.vmap(step, in_axes=(None, (0, 0, 0), None))
 
         @jax.jit
@@ -322,29 +329,79 @@ def make_batched_cycle_step(params: EngineParams, controller: CycleController):
     return cycle_step
 
 
+def make_delayed_cycle_step(params: EngineParams, controller: CycleController):
+    """Batched scan body with one-cycle log delay.
+
+    For controllers that fold the *previous* cycle's trailing work (e.g.
+    moving-phase detection) into the current decision batch — one detector
+    graph per cycle instead of two.  ``predict_all(consts, state, cycle,
+    prev_positions)`` must return the rows of cycle ``cycle − 1``; the step
+    emits them with the previous cycle's positions.  The runner scans one
+    extra cycle and drops the first (garbage, cycle −1) output row.
+    """
+    weights = np.asarray(params.motor_weights, dtype=np.float64)
+
+    def motor(pos, dxdy):
+        d = dxdy.astype(jnp.float64)
+        resid = jnp.zeros_like(d)
+        moving_positions = []
+        p = pos
+        for w in weights:
+            moving_positions.append(p)
+            raw = w * d + resid
+            s = jnp.round(raw)
+            resid = raw - s
+            p = _clamp(p + s.astype(pos.dtype), params)
+        positions = jnp.concatenate(
+            [jnp.broadcast_to(pos, (params.imaging_n, 2)), jnp.stack(moving_positions, axis=0)],
+            axis=0,
+        )
+        return p, positions
+
+    motor_v = jax.vmap(motor)
+
+    def cycle_step(consts, carry, cycle_idx):
+        pos, prev_positions, state = carry
+        ctx = DecideCtx(cycle=cycle_idx, position=pos, prev_positions=prev_positions)
+        state, dxdy = controller.decide(consts, state, ctx)
+        prev_rows = controller.predict_all(consts, state, cycle_idx, prev_positions)
+        p, positions = motor_v(pos, dxdy)
+        log = CycleLog(positions=prev_positions, worm_bboxes=prev_rows)
+        return (p, positions, state), log
+
+    return cycle_step
+
+
 def run_engine_streams(
     params: EngineParams,
     controller: CycleController,
     init_positions: jnp.ndarray,
     n_cycles: int,
     batched_controller: bool = False,
+    delayed_log: bool = False,
 ) -> CycleLog:
     """Run S independent worm streams in one compiled program.
 
     ``controller.init()`` must return per-stream state (leading axis S);
     stream-specific data (trajectories, detection rings) lives in that state.
     With ``batched_controller=True`` the controller's decide/predict_all
-    receive the full (S, ...) batch themselves instead of being vmapped.
+    receive the full (S, ...) batch themselves instead of being vmapped; with
+    ``delayed_log=True`` the controller logs with a one-cycle delay (see
+    :func:`make_delayed_cycle_step`).
     Returns logs with leading axes ``(n_cycles, S, cycle_n)``.
     """
 
-    run = _stream_runner(params, controller, batched_controller)
+    run = _stream_runner(params, controller, batched_controller, delayed_log)
 
     pos0 = _clamp(jnp.asarray(init_positions, dtype=jnp.int32), params)
     s = pos0.shape[0]
     prev0 = jnp.broadcast_to(pos0[:, None, :], (s, params.cycle_n, 2)).astype(jnp.int32)
     carry0 = (pos0, prev0, controller.init())
 
+    if delayed_log:
+        cycles = jnp.arange(n_cycles + 1, dtype=jnp.int32)
+        _, logs = run(controller.consts, carry0, cycles)
+        return jax.tree.map(lambda x: x[1:], logs)
     _, logs = run(controller.consts, carry0, jnp.arange(n_cycles, dtype=jnp.int32))
     return logs
 

@@ -1,0 +1,203 @@
+"""Live YOLO+MLP closed loop over real video frames (chunked device residency).
+
+The renderer-based loop (:mod:`wtracker_tpu.sim.engine_live`) needs no pixels;
+this module runs the same control loop over an actual recording.  Full
+experiments (60k frames at 1400×1600) don't fit in HBM, so frames stream
+through in fixed-size chunks:
+
+* a chunk of decoded frames lives on device as a ``consts`` entry (a jit
+  argument — chunks swap without recompiling);
+* camera views are dynamic-slice crops (:func:`wtracker_tpu.ops.image.crop_views`)
+  batched per cycle and letterboxed into the detector;
+* the host loop walks chunks using the engine's carry resume, so the whole run
+  is a handful of identical compiled calls;
+* frame decode for the next chunk happens on host (the native BMP loader,
+  runtime/) while the device crunches the current one — JAX's async dispatch
+  gives the overlap for free.
+
+Platform positions are clamped to the frame bounds minus the camera half-size
+so crops stay in-bounds (the reference pads the world instead; for detection
+the replicate-padded border adds no information).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wtracker_tpu.models.yolov8 import YoloV8, detect_top1
+from wtracker_tpu.ops.image import crop_views
+from wtracker_tpu.sim.engine import (
+    CycleController,
+    CycleLog,
+    DecideCtx,
+    EngineParams,
+    init_carry,
+    run_engine,
+)
+from wtracker_tpu.sim.engine_live import LiveLoopConfig
+
+
+def video_live_controller(
+    params: EngineParams,
+    config: LiveLoopConfig,
+    detector_model: YoloV8,
+    detector_variables: dict,
+    predictor,
+    chunk_shape: tuple[int, int, int],
+) -> CycleController:
+    """Single-stream live controller reading views from a resident frame chunk.
+
+    ``consts`` carries ``{"det", "mlp", "frames" (C, H, W) uint8, "frame0"}``;
+    swap ``frames``/``frame0`` per chunk via ``controller._replace(consts=...)``
+    — shapes stay fixed, so the compiled runner is reused.
+    """
+    R = config.ring_size
+    L = params.cycle_n
+    IM, MV = params.imaging_n, params.moving_n
+    io = predictor.io_config
+    input_frames = jnp.asarray(io.input_frames, dtype=jnp.int32)
+    mlp_model = predictor.model
+
+    cam_half = jnp.array([params.cam_w // 2, params.cam_h // 2], dtype=jnp.int32)
+    view_hw = (params.cam_h, params.cam_w)
+    C, H, W = chunk_shape
+
+    consts = {
+        "det": detector_variables,
+        "mlp": predictor.variables,
+        "frames": jnp.zeros(chunk_shape, jnp.uint8),
+        "frame0": jnp.int32(0),
+    }
+
+    def crop_and_detect(consts, frame_idx, cam_tls):
+        """frame_idx (N,) absolute; cam_tls (N, 2) arena coords → (N, 4) abs."""
+        local = jnp.clip(frame_idx - consts["frame0"], 0, C - 1)
+        frames = jnp.take(consts["frames"], local, axis=0)  # (N, H, W)
+        # clamp crops fully inside the frame
+        tls = jnp.stack(
+            [jnp.clip(cam_tls[:, 0], 0, W - params.cam_w), jnp.clip(cam_tls[:, 1], 0, H - params.cam_h)],
+            axis=1,
+        )
+        views = crop_views(frames, tls, view_hw)
+        boxes = detect_top1(detector_model, consts["det"], views, config.imgsz, config.conf)
+        return boxes.at[:, :2].add(tls.astype(boxes.dtype))
+
+    def init():
+        return {
+            "ring": jnp.full((R, 4), jnp.nan, dtype=jnp.float32),
+            "stash": jnp.full((IM, 4), jnp.nan, dtype=jnp.float32),
+        }
+
+    def decide(consts, state, ctx: DecideCtx):
+        idx = ctx.cycle * L + jnp.arange(IM)
+        cam_tl = ctx.position - cam_half
+        cam_tls = jnp.broadcast_to(cam_tl, (IM, 2))
+
+        boxes_abs = crop_and_detect(consts, idx, cam_tls)
+        ring = state["ring"].at[idx % R, :].set(boxes_abs)
+
+        kickoff = ctx.cycle * L + IM - params.pred_n
+        f_in = kickoff + input_frames
+        feats_abs = jnp.where((f_in >= 0)[:, None], jnp.take(ring, f_in % R, axis=0), jnp.nan)
+
+        cam_center = cam_tl.astype(jnp.float32) + jnp.array(
+            [params.cam_w / 2, params.cam_h / 2], jnp.float32
+        )
+        mlp_valid = jnp.isfinite(feats_abs).all()
+
+        rel = feats_abs[0, :2] - cam_center
+        origin = feats_abs[0, :2]
+        feats = feats_abs.at[:, :2].add(-origin).reshape(1, -1)
+        feats = jnp.where(mlp_valid, feats, 0.0)
+
+        pred = mlp_model.apply(consts["mlp"], feats.astype(jnp.float32), train=False).reshape(-1)
+        pred = jnp.clip(pred, -config.max_dist_per_pred, config.max_dist_per_pred)
+        mlp_move = jnp.round(pred[:2] + rel)
+
+        last_det = ring[kickoff % R]
+        det_valid = jnp.isfinite(last_det).all()
+        det_center = last_det[:2] + last_det[2:] / 2
+        det_move = jnp.round(det_center - cam_center)
+
+        dxdy = jnp.where(
+            mlp_valid, mlp_move, jnp.where(det_valid, det_move, jnp.zeros(2))
+        ).astype(jnp.int32)
+
+        return {"ring": ring, "stash": boxes_abs}, dxdy
+
+    def predict_all(consts, state, cycle_idx, positions):
+        imaging = state["stash"].astype(jnp.float64)
+        if not config.log_mode:
+            moving = jnp.full((MV, 4), jnp.nan, dtype=jnp.float64)
+        else:
+            idx = cycle_idx * L + IM + jnp.arange(MV)
+            cam_tls = positions[IM:] - cam_half
+            moving = crop_and_detect(consts, idx, cam_tls).astype(jnp.float64)
+        return jnp.concatenate([imaging, moving], axis=0)
+
+    return CycleController(init=init, decide=decide, predict_all=predict_all, consts=consts)
+
+
+def run_video_live(
+    params: EngineParams,
+    config: LiveLoopConfig,
+    frame_source: Callable[[int, int], np.ndarray],
+    num_frames: int,
+    detector_model: YoloV8,
+    detector_variables: dict,
+    predictor,
+    init_position: tuple[int, int],
+    cycles_per_chunk: int = 64,
+) -> CycleLog:
+    """Run the live loop over a whole recording, chunk by chunk.
+
+    Args:
+        frame_source: ``(start_frame, count) -> (count, H, W) uint8`` — e.g.
+            ``lambda s, n: reader.read_batch(range(s, s + n))`` (BMP sources
+            hit the native parallel decoder).
+        num_frames: total frames of the experiment.
+        cycles_per_chunk: chunk size in cycles (chunk memory =
+            ``cycles_per_chunk · cycle_n · H · W`` bytes).
+
+    Returns stacked logs over all complete cycles.
+    """
+    L = params.cycle_n
+    n_cycles = params.n_logged_cycles(num_frames)
+    chunk_frames = cycles_per_chunk * L
+
+    probe = frame_source(0, 1)
+    H, W = probe.shape[1:3]
+    controller = video_live_controller(
+        params, config, detector_model, detector_variables, predictor, (chunk_frames, H, W)
+    )
+
+    carry = init_carry(params, controller, init_position)
+    logs_parts = []
+    next_chunk = frame_source(0, min(chunk_frames, num_frames))
+
+    for start_cycle in range(0, n_cycles, cycles_per_chunk):
+        n = min(cycles_per_chunk, n_cycles - start_cycle)
+        frames = next_chunk
+        if frames.shape[0] < chunk_frames:  # pad the tail chunk
+            pad = np.zeros((chunk_frames - frames.shape[0], H, W), np.uint8)
+            frames = np.concatenate([frames, pad])
+
+        ctl = controller._replace(
+            consts={**controller.consts, "frames": jnp.asarray(frames), "frame0": jnp.int32(start_cycle * L)}
+        )
+        logs, carry = run_engine(
+            params, ctl, init_position, n, start_cycle=start_cycle, carry=carry, return_carry=True
+        )
+        logs_parts.append(logs)
+
+        # prefetch the next chunk on host while the device works
+        nxt = (start_cycle + cycles_per_chunk) * L
+        if nxt < n_cycles * L:
+            next_chunk = frame_source(nxt, min(chunk_frames, num_frames - nxt))
+
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *logs_parts)
