@@ -98,3 +98,39 @@ def test_video_first_cycle_matches_manual_detection(video):
 
     got = np.asarray(logs.worm_bboxes)[0, : params.imaging_n]
     np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_video_loop_pallas_preproc_matches(video):
+    """The fused Pallas preprocessing path equals the unfused path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    frames, traj = video
+    exp = ExperimentConfig("vid", len(frames), 60, frames.shape[1:], 90, (180, 150))
+    timing = TimingConfig(experiment_config=exp, **TIMING_KWARGS)
+    params = EngineParams.from_timing(timing, frames.shape[1:])
+    model, variables, predictor = _models()
+    source = lambda s, n: frames[s : s + n]
+
+    # note: square camera required; TIMING_KWARGS camera is (1.2, 1.1) mm ->
+    # rectangular, so build a square-camera timing here
+    timing_sq = TimingConfig(
+        experiment_config=ExperimentConfig("vid", len(frames), 60, frames.shape[1:], 90, (180, 150)),
+        imaging_time_ms=75.0, pred_time_ms=30.0, moving_time_ms=50.0,
+        camera_size_mm=(1.2, 1.2), micro_size_mm=(0.25, 0.25),
+    )
+    params_sq = EngineParams.from_timing(timing_sq, frames.shape[1:])
+
+    cfg_plain = LiveLoopConfig(imgsz=(64, 64), conf=0.0, ring_size=32, log_mode=True, max_dist_per_pred=20.0)
+    cfg_pallas = LiveLoopConfig(
+        imgsz=(64, 64), conf=0.0, ring_size=32, log_mode=True, max_dist_per_pred=20.0,
+        use_pallas_preproc=True,
+    )
+
+    a = run_video_live(params_sq, cfg_plain, source, len(frames), model, variables, predictor, (180, 150), cycles_per_chunk=16)
+    with pltpu.force_tpu_interpret_mode():
+        b = run_video_live(params_sq, cfg_pallas, source, len(frames), model, variables, predictor, (180, 150), cycles_per_chunk=16)
+
+    np.testing.assert_array_equal(np.asarray(a.positions), np.asarray(b.positions))
+    np.testing.assert_allclose(
+        np.asarray(a.worm_bboxes), np.asarray(b.worm_bboxes), atol=1e-2, equal_nan=True
+    )

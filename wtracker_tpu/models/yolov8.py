@@ -359,6 +359,35 @@ def preprocess_batch(frames: jnp.ndarray, imgsz: tuple[int, int]) -> tuple[jnp.n
     return letterbox(frames, imgsz)
 
 
+def detect_top1_preprocessed(
+    model: YoloV8,
+    variables: dict,
+    x: jnp.ndarray,
+    geometry: tuple[float, int, int],
+    imgsz: tuple[int, int],
+    conf: float,
+) -> jnp.ndarray:
+    """Top-1 detection on an already-letterboxed (B, h, w, 3) tensor.
+
+    ``geometry`` is the (scale, pad_top, pad_left) of the letterbox, used to
+    map boxes back into source pixels — pair with the fused Pallas
+    preprocessing kernel (ops/pallas_preproc.py).
+    """
+    scale, pad_top, pad_left = geometry
+    box_logits, cls_logits = model.apply(variables, x, train=False)
+    boxes, scores = decode_predictions(box_logits, cls_logits, imgsz, model.reg_max)
+
+    top = jnp.max(scores, axis=-1)
+    idx = jnp.argmax(top, axis=-1)
+    best_score = jnp.take_along_axis(top, idx[:, None], axis=1)[:, 0]
+    best_box = jnp.take_along_axis(boxes, idx[:, None, None], axis=1)[:, 0]
+
+    xy = (best_box[:, :2] - jnp.array([pad_left, pad_top])) / scale
+    wh = (best_box[:, 2:] - best_box[:, :2]) / scale
+    out = jnp.concatenate([xy, wh], axis=-1)
+    return jnp.where((best_score >= conf)[:, None], out, jnp.nan)
+
+
 def detect_top1(
     model: YoloV8,
     variables: dict,

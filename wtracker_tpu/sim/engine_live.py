@@ -49,6 +49,8 @@ class LiveLoopConfig:
     """Also detect moving-phase frames so every log row has a worm bbox."""
     max_dist_per_pred: float = 40.0
     """Clip bound on the MLP displacement prediction, in px."""
+    use_pallas_preproc: bool = False
+    """Video path only: fuse crop+resize+normalize into the Pallas kernel."""
 
 
 def hybrid_yolo_mlp_controller(

@@ -74,17 +74,36 @@ def video_live_controller(
         "frame0": jnp.int32(0),
     }
 
+    use_pallas = (
+        config.use_pallas_preproc
+        and params.cam_w == params.cam_h
+        and config.imgsz[0] == config.imgsz[1]
+    )
+
     def crop_and_detect(consts, frame_idx, cam_tls):
         """frame_idx (N,) absolute; cam_tls (N, 2) arena coords → (N, 4) abs."""
         local = jnp.clip(frame_idx - consts["frame0"], 0, C - 1)
-        frames = jnp.take(consts["frames"], local, axis=0)  # (N, H, W)
         # clamp crops fully inside the frame
         tls = jnp.stack(
             [jnp.clip(cam_tls[:, 0], 0, W - params.cam_w), jnp.clip(cam_tls[:, 1], 0, H - params.cam_h)],
             axis=1,
         )
-        views = crop_views(frames, tls, view_hw)
-        boxes = detect_top1(detector_model, consts["det"], views, config.imgsz, config.conf)
+        if use_pallas:
+            from wtracker_tpu.models.yolov8 import detect_top1_preprocessed, letterbox_params
+            from wtracker_tpu.ops.pallas_preproc import crop_letterbox_views
+
+            x = crop_letterbox_views(
+                consts["frames"], local, tls, params.cam_w, config.imgsz[0],
+                out_dtype=detector_model.compute_dtype,
+            )
+            geom = letterbox_params(view_hw, config.imgsz)  # (scale, nh, nw, pad_top, pad_left)
+            boxes = detect_top1_preprocessed(
+                detector_model, consts["det"], x, (geom[0], geom[3], geom[4]), config.imgsz, config.conf
+            )
+        else:
+            frames = jnp.take(consts["frames"], local, axis=0)  # (N, H, W)
+            views = crop_views(frames, tls, view_hw)
+            boxes = detect_top1(detector_model, consts["det"], views, config.imgsz, config.conf)
         return boxes.at[:, :2].add(tls.astype(boxes.dtype))
 
     def init():
