@@ -87,7 +87,7 @@ class YoloController(SimController):
         frames without a detection."""
         assert len(frames) > 0
         batch = np.stack(list(frames), axis=0)
-        return np.asarray(self._model.detect(batch))
+        return np.array(self._model.detect(batch))  # writable host copy
 
     def begin_movement_prediction(self, sim: Simulator) -> None:
         pass
