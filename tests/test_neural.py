@@ -147,3 +147,36 @@ def test_optimize_polyfit_weights(log_csv):
     uniform_mae = ev.eval(np.ones(4), deg=1)
     res = optimize_polyfit_weights(ev, degree=1, pop_size=20, epochs=30, seed=0)
     assert res.best_value <= uniform_mae + 1e-6
+
+
+def test_orbax_train_state_roundtrip(log_csv, tmp_path):
+    """Full training state (incl. optimizer moments) resumes exactly."""
+    import numpy as np
+
+    from wtracker_tpu.models.resmlp import make_rmlp_predictor
+    from wtracker_tpu.neural.training import MLPTrainer, load_train_state, save_train_state
+
+    io = IOConfig(input_frames=[0, -2], pred_frames=[2])
+    ds = NumpyDataset.create_from_config(DatasetConfig(io.input_frames, io.pred_frames, log_csv))
+    tr, te = ds.split(0.8, seed=0)
+
+    predictor = make_rmlp_predictor(io, block_in_dim=8, block_dims=(8,), n_blocks=1, seed=0)
+    trainer = MLPTrainer(predictor, learning_rate=1e-3, seed=0)
+    trainer.fit(tr, te, num_epochs=3, print_every=0, batch_size=64)
+    save_train_state(trainer, str(tmp_path / "ckpt"), step=3)
+
+    # continue 2 more epochs from the live trainer (pinned shuffle RNG so the
+    # two continuations see identical batches)
+    trainer.rng = np.random.default_rng(123)
+    trainer.fit(tr, te, num_epochs=2, print_every=0, batch_size=64)
+    want = trainer.test_epoch(te, batch_size=64)
+
+    # fresh trainer restored from the checkpoint, same continuation
+    predictor2 = make_rmlp_predictor(io, block_in_dim=8, block_dims=(8,), n_blocks=1, seed=0)
+    trainer2 = MLPTrainer(predictor2, learning_rate=1e-3, seed=0)
+    load_train_state(trainer2, str(tmp_path / "ckpt"), step=3)
+    trainer2.rng = np.random.default_rng(123)
+    trainer2.fit(tr, te, num_epochs=2, print_every=0, batch_size=64)
+    got = trainer2.test_epoch(te, batch_size=64)
+
+    np.testing.assert_allclose(got.losses, want.losses, rtol=1e-6)

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Live tracking over a recorded experiment: the full YOLO→ResMLP closed loop.
+
+Streams the recording through the TPU in chunks (native BMP decode on host,
+crops + detection + control on device) and writes the 17-column bboxes.csv.
+This is the engine form of running YoloController inside the simulator
+(reference: initialize_experiment.ipynb's detection pass / simulate with live
+YOLO), at production throughput.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--frames", required=True, help="directory of frame images")
+    ap.add_argument("--timing-config", required=True)
+    ap.add_argument("--exp-config", required=True)
+    ap.add_argument("--detector", required=True, help="YOLO weights (.npz or ultralytics .pt)")
+    ap.add_argument("--predictor", help="ResMLP checkpoint (.npz/.pt); detection-centering if omitted")
+    ap.add_argument("--output", required=True, help="output folder for bboxes.csv")
+    ap.add_argument("--imgsz", type=int, default=416)
+    ap.add_argument("--conf", type=float, default=0.1)
+    ap.add_argument("--chunk-cycles", type=int, default=64)
+    ap.add_argument("--pallas-preproc", action="store_true")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from wtracker_tpu.models.yolov8 import YoloV8Detector
+    from wtracker_tpu.sim.config import ExperimentConfig, TimingConfig
+    from wtracker_tpu.sim.engine import EngineParams, logs_to_frame
+    from wtracker_tpu.sim.engine_live import LiveLoopConfig
+    from wtracker_tpu.sim.engine_video import run_video_live
+    from wtracker_tpu.utils.frame_reader import FrameReader
+    from wtracker_tpu.utils.path_utils import create_directory, join_paths
+
+    timing = TimingConfig.load_json(args.timing_config)
+    exp = ExperimentConfig.load_json(args.exp_config)
+
+    reader = FrameReader.create_from_directory(args.frames)
+    det = YoloV8Detector.load(args.detector, imgsz=args.imgsz, conf=args.conf).fuse()
+
+    if args.predictor:
+        from wtracker_tpu.models.resmlp import load_predictor, load_torch_checkpoint
+
+        predictor = (
+            load_torch_checkpoint(args.predictor)
+            if args.predictor.endswith(".pt")
+            else load_predictor(args.predictor)
+        )
+    else:
+        from wtracker_tpu.models.resmlp import make_rmlp_predictor
+        from wtracker_tpu.neural.config import IOConfig
+
+        predictor = make_rmlp_predictor(IOConfig([0], [max(timing.pred_frame_num, 1)]))
+
+    params = EngineParams.from_timing(timing, reader.frame_size)
+    max_speed_px_frame = 0.9 * (timing.px_per_mm / timing.frames_per_sec)
+    cfg = LiveLoopConfig(
+        imgsz=(args.imgsz, args.imgsz),
+        conf=args.conf,
+        ring_size=max(64, 2 * params.cycle_n),
+        log_mode=True,
+        max_dist_per_pred=max_speed_px_frame * max(predictor.io_config.pred_frames[0], 1),
+        use_pallas_preproc=args.pallas_preproc,
+    )
+
+    logs = run_video_live(
+        params,
+        cfg,
+        lambda s, n: reader.read_batch(range(s, min(s + n, len(reader)))),
+        len(reader),
+        det.model,
+        det.variables,
+        predictor,
+        exp.init_position,
+        cycles_per_chunk=args.chunk_cycles,
+    )
+
+    df = logs_to_frame(params, logs)
+    create_directory(args.output)
+    out = join_paths(args.output, "bboxes.csv")
+    df.to_csv(out, index=False)
+    print(f"wrote {out} ({len(df)} rows)")
+
+
+if __name__ == "__main__":
+    main()

@@ -25,9 +25,14 @@ from __future__ import annotations
 
 import os
 
-if not os.environ.get("WTRACKER_TPU_NO_X64"):
-    import jax
+import jax
 
+if not os.environ.get("WTRACKER_TPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)
+
+# Reliable platform pinning: the JAX_PLATFORMS env var is ignored by some PJRT
+# plugins (the axon TPU plugin among them) — the config update is honored.
+if os.environ.get("WTRACKER_TPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["WTRACKER_TPU_PLATFORM"])
 
 __version__ = "0.1.0"

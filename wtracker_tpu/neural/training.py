@@ -293,3 +293,51 @@ def fit_from_config(config: TrainConfig) -> tuple[MLPTrainer, FitResult]:
     )
     trainer.sync_predictor()
     return trainer, result
+
+
+# ---------------------------------------------------------------------------
+# orbax train-state checkpointing (full resume: params + optimizer + stats)
+# ---------------------------------------------------------------------------
+
+
+def save_train_state(trainer: "MLPTrainer", directory: str, step: int = 0) -> None:
+    """Persist the complete training state (params, batch stats, optimizer)
+    with orbax — resumable mid-run, unlike the best-model .npz checkpoints.
+    The reference can only checkpoint whole models (training.py:119-128)."""
+    import orbax.checkpoint as ocp
+
+    path = _abs(directory)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            f"{path}/state_{step}",
+            {
+                "params": trainer.params,
+                "batch_stats": trainer.batch_stats,
+                "opt_state": trainer.opt_state,
+            },
+            force=True,
+        )
+
+
+def load_train_state(trainer: "MLPTrainer", directory: str, step: int = 0) -> "MLPTrainer":
+    """Restore a training state saved by :func:`save_train_state` in place."""
+    import orbax.checkpoint as ocp
+
+    path = _abs(directory)
+    target = {
+        "params": trainer.params,
+        "batch_stats": trainer.batch_stats,
+        "opt_state": trainer.opt_state,
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(f"{path}/state_{step}", target)
+    trainer.params = state["params"]
+    trainer.batch_stats = state["batch_stats"]
+    trainer.opt_state = state["opt_state"]
+    return trainer
+
+
+def _abs(directory: str) -> str:
+    import os
+
+    return os.path.abspath(directory)
