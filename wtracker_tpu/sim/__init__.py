@@ -5,6 +5,22 @@ from wtracker_tpu.sim.motor import MotorController, SineMotorController, StepMot
 from wtracker_tpu.sim.simulator import SimController, Simulator
 from wtracker_tpu.sim.view import ViewController
 
+# TPU engine (imported lazily-heavy modules are fine: engine pulls jax only)
+from wtracker_tpu.sim.engine import (
+    CycleController,
+    CycleLog,
+    DecideCtx,
+    EngineParams,
+    csv_controller,
+    headless_frame_shape,
+    logs_to_frame,
+    mlp_controller,
+    optimal_controller,
+    polyfit_controller,
+    run_engine,
+    run_engine_streams,
+)
+
 __all__ = [
     "ExperimentConfig",
     "TimingConfig",
@@ -14,4 +30,16 @@ __all__ = [
     "SimController",
     "Simulator",
     "ViewController",
+    "CycleController",
+    "CycleLog",
+    "DecideCtx",
+    "EngineParams",
+    "csv_controller",
+    "headless_frame_shape",
+    "logs_to_frame",
+    "mlp_controller",
+    "optimal_controller",
+    "polyfit_controller",
+    "run_engine",
+    "run_engine_streams",
 ]
