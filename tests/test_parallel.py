@@ -117,3 +117,29 @@ def test_dp_train_step(setup):
             params, opt_state, l = step(params, opt_state, X, y)
             losses.append(float(l))
     assert losses[-1] < losses[0]
+
+
+def test_csv_controller_streams_matches_per_stream(setup):
+    """The official stream playback controller equals S single-stream runs."""
+    import jax.numpy as jnp
+
+    from wtracker_tpu.sim.engine import csv_controller, csv_controller_streams, run_engine, run_engine_streams
+
+    exp, timing, params = setup
+    S, n = 4, 480
+    rng = np.random.default_rng(7)
+    pos = np.cumsum(rng.normal(0.2, 1.0, (S, n, 2)), axis=1) + 250
+    csvs = np.concatenate([pos - 5, np.full((S, n, 2), 10.0)], axis=-1)
+    csvs[:, ::41] = np.nan
+
+    init_pos = np.tile(np.asarray(exp.init_position), (S, 1))
+    batch = run_engine_streams(
+        params, csv_controller_streams(csvs, params), init_pos, 20, batched_controller=True
+    )
+
+    for i in range(S):
+        single = run_engine(params, csv_controller(csvs[i], params), exp.init_position, 20)
+        np.testing.assert_array_equal(np.asarray(batch.positions[:, i]), np.asarray(single.positions))
+        np.testing.assert_allclose(
+            np.asarray(batch.worm_bboxes[:, i]), np.asarray(single.worm_bboxes), equal_nan=True
+        )

@@ -108,3 +108,30 @@ def test_overfit_single_blob(rng):
         cx, cy = det[j, 0] + det[j, 2] / 2, det[j, 1] + det[j, 3] / 2
         gx, gy = (gt[j, 0, 0] + gt[j, 0, 2]) / 2, (gt[j, 0, 1] + gt[j, 0, 3]) / 2
         assert abs(cx - gx) < 8 and abs(cy - gy) < 8, (det[j], gt[j])
+
+
+def test_dp_yolo_train_step(rng):
+    """Detector training step shards the batch across the CPU mesh."""
+    from wtracker_tpu.neural.yolo_training import YoloTrainer, make_dp_yolo_train_step
+    from wtracker_tpu.parallel import make_mesh
+
+    model = YoloV8(nc=1, scale="n")
+    imgsz = (64, 64)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, *imgsz, 3), jnp.float32), train=False)
+    trainer = YoloTrainer(model, variables, imgsz=imgsz, learning_rate=1e-3)
+
+    mesh = make_mesh(8, axis="data")
+    step = make_dp_yolo_train_step(trainer, mesh)
+
+    images, gt, cls, mask = _blob_batch(rng, B=8)
+    params, batch_stats, opt_state = trainer.params, trainer.batch_stats, trainer.opt_state
+    with mesh:
+        losses = []
+        for _ in range(3):
+            params, batch_stats, opt_state, loss = step(
+                params, batch_stats, opt_state,
+                jnp.asarray(images), jnp.asarray(gt), jnp.asarray(cls), jnp.asarray(mask),
+            )
+            losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

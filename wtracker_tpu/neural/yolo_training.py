@@ -285,3 +285,40 @@ class YoloTrainer:
         if self.batch_stats:
             vs["batch_stats"] = self.batch_stats
         return vs
+
+
+def make_dp_yolo_train_step(trainer: YoloTrainer, mesh, axis: str = "data"):
+    """Data-parallel detector train step over a mesh.
+
+    Batch (images + padded gt) shards over ``axis``; params/opt state
+    replicate; XLA inserts the gradient psum from the sharding annotations.
+    Returns ``step(params, batch_stats, opt_state, images, gt, cls, mask)``.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch_shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    model, imgsz, tx = trainer.model, trainer.imgsz, trainer.tx
+
+    @partial(
+        jax.jit,
+        in_shardings=(repl, repl, repl, batch_shard, batch_shard, batch_shard, batch_shard),
+        out_shardings=(repl, repl, repl, repl),
+    )
+    def step(params, batch_stats, opt_state, images, gt_xyxy, gt_cls, gt_mask):
+        def loss_fn(p):
+            (box_l, cls_l), updates = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                images,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss, parts = detection_loss(box_l, cls_l, gt_xyxy, gt_cls, gt_mask, imgsz, model.reg_max)
+            return loss, updates["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, loss
+
+    return step

@@ -665,3 +665,46 @@ def mlp_controller(
         predict_all=_csv_predict_all(params),
         consts=consts,
     )
+
+
+# ---------------------------------------------------------------------------
+# stream-batched playback controllers (multi-experiment sweeps)
+# ---------------------------------------------------------------------------
+
+
+def csv_controller_streams(csv_data: np.ndarray, params: EngineParams) -> CycleController:
+    """Stream-batched ground-truth playback: ``csv_data`` is (S, N, 4).
+
+    For ``run_engine_streams(..., batched_controller=True)`` — the vmap-free
+    form of S parallel CsvController experiments (the reference runs these
+    serially, one notebook execution per experiment).
+    """
+    consts = {"csv": jnp.asarray(csv_data, dtype=jnp.float64)}
+    s = csv_data.shape[0]
+
+    def gather(csv, idx):
+        n = csv.shape[1]
+        valid = (idx >= 0) & (idx < n)
+        rows = jnp.take(csv, jnp.clip(idx, 0, n - 1), axis=1)
+        return jnp.where(valid[..., None], rows, jnp.nan)
+
+    def decide(consts, state, ctx: DecideCtx):
+        f = ctx.cycle * params.cycle_n + params.imaging_n
+        bbox = gather(consts["csv"], jnp.full((1,), f - params.pred_n))[:, 0]  # (S, 4)
+        cam_tl = (ctx.position - jnp.array([params.cam_w // 2, params.cam_h // 2])).astype(jnp.float64)
+        rel_xy = bbox[:, :2] - cam_tl
+        center = rel_xy + bbox[:, 2:] / 2
+        target = center - jnp.array([params.cam_w / 2, params.cam_h / 2])
+        valid = jnp.isfinite(bbox).all(axis=1)
+        return state, jnp.where(valid[:, None], jnp.round(target), 0.0).astype(jnp.int32)
+
+    def predict_all(consts, state, cycle_idx, positions):
+        idx = cycle_idx * params.cycle_n + jnp.arange(params.cycle_n)
+        rows = gather(consts["csv"], idx)  # (S, L, 4)
+        cam_tl = (
+            positions - jnp.array([params.cam_w // 2, params.cam_h // 2], dtype=positions.dtype)
+        ).astype(jnp.float64)
+        rel = jax.lax.optimization_barrier(rows[..., :2] - cam_tl)
+        return jnp.concatenate([rel + cam_tl, rows[..., 2:]], axis=-1)
+
+    return CycleController(init=lambda: (), decide=decide, predict_all=predict_all, consts=consts)
