@@ -168,3 +168,22 @@ def test_fused_single_batch_matches_flat(setup):
         atol=2e-4,
         equal_nan=True,
     )
+
+
+def test_live_loop_no_detection_fallback(setup):
+    """conf > 1 → no detections ever → loop must hold position, not NaN out."""
+    exp, timing, params = setup
+    scene = SyntheticScene()
+    traj = make_trajectory(400, (500, 600), seed=0)
+    model, variables = _tiny_detector()
+    predictor = _tiny_predictor()
+
+    cfg = LiveLoopConfig(imgsz=(64, 64), conf=2.0, ring_size=32, log_mode=True, max_dist_per_pred=20.0)
+    ctl = hybrid_yolo_mlp_controller(params, cfg, scene, traj, model, variables, predictor)
+    logs = run_engine(params, ctl, exp.init_position, 6)
+
+    pos = np.asarray(logs.positions)
+    # platform never moves: every decision falls back to (0, 0)
+    assert (pos == pos[0, 0]).all()
+    # and the log rows carry NaN (missing detection protocol)
+    assert np.isnan(np.asarray(logs.worm_bboxes)).all()

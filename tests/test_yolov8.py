@@ -150,3 +150,13 @@ def test_bn_fusion_preserves_outputs(ported):
     boxes_a, scores_a = det.raw(frames)
     boxes_b, scores_b = fused.raw(frames)
     np.testing.assert_allclose(np.asarray(scores_b), np.asarray(scores_a), atol=1e-4)
+
+
+def test_port_handles_full_pickle_prefix(ported):
+    """Ultralytics full-model pickles use model.model.{i}.* naming."""
+    tmodel, fmodel, variables = ported
+    sd = {f"model.{k}": v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    variables2 = port_state_dict(sd, prefix="model.model.")
+    a = jax.tree.leaves(variables["params"])
+    b = jax.tree.leaves(variables2["params"])
+    assert all(np.array_equal(x, y) for x, y in zip(a, b))
