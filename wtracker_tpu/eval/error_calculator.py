@@ -14,7 +14,6 @@ and the segmentation + intersection reduce runs vmapped on device.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import numpy as np

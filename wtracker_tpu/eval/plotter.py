@@ -9,7 +9,7 @@ builders with row-filter ``condition`` and dataframe ``transform`` hooks.
 
 from __future__ import annotations
 
-from typing import Callable, Iterable
+from typing import Callable
 
 import numpy as np
 import pandas as pd
@@ -17,7 +17,6 @@ import pandas as pd
 import matplotlib
 
 matplotlib.use("Agg", force=False)  # headless-safe default
-import matplotlib.pyplot as plt
 import seaborn as sns
 
 

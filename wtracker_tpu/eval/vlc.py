@@ -14,7 +14,7 @@ are provided (the reference's DummyReader white-background mode, vlc.py:262-273)
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 import cv2 as cv

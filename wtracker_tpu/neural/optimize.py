@@ -11,7 +11,6 @@ polyfit weights takes seconds instead of minutes.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Callable
 
 import jax

@@ -14,9 +14,7 @@ optimizer update, metrics — is a single jitted ``lax.scan`` over batches.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from functools import partial
-from typing import TYPE_CHECKING, Any, Callable, Optional
+from typing import TYPE_CHECKING, Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +26,7 @@ from wtracker_tpu.neural.config import LOSSES, OPTIMIZERS, TrainConfig
 if TYPE_CHECKING:  # avoid a circular import with models.resmlp
     from wtracker_tpu.models.resmlp import WormPredictor
 from wtracker_tpu.neural.dataset import NumpyDataset
-from wtracker_tpu.neural.train_results import BatchResult, EpochResult, FitResult
+from wtracker_tpu.neural.train_results import EpochResult, FitResult
 
 
 class Trainer:

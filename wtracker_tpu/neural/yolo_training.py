@@ -21,14 +21,13 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from wtracker_tpu.models.yolov8 import STRIDES, YoloV8, make_anchors
+from wtracker_tpu.models.yolov8 import YoloV8, make_anchors
 
 
 def pairwise_ciou(gt_xyxy: jnp.ndarray, pred_xyxy: jnp.ndarray) -> jnp.ndarray:

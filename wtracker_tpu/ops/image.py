@@ -11,7 +11,7 @@ are built once at trace time (numpy) and folded into the program.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp

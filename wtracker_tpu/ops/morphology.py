@@ -19,7 +19,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def erode(mask: jnp.ndarray, size: int) -> jnp.ndarray:

@@ -30,9 +30,7 @@ Reference semantics preserved exactly (SURVEY.md §7):
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Callable, NamedTuple
 
 import jax

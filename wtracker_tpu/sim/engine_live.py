@@ -25,14 +25,12 @@ ground-truth trajectory and the platform position.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from wtracker_tpu.models.yolov8 import YoloV8, detect_top1
-from wtracker_tpu.sim.engine import CycleController, DecideCtx, EngineParams, _gather_rows
+from wtracker_tpu.sim.engine import CycleController, DecideCtx, EngineParams
 from wtracker_tpu.sim.synthetic import SyntheticScene
 
 

@@ -22,8 +22,7 @@ the replicate-padded border adds no information).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Callable, Iterator
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ the view is generated inside the scan right where the detector consumes it.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ of a tkinter crash.
 from __future__ import annotations
 
 import json
-import pickle
 from dataclasses import MISSING, dataclass, fields, is_dataclass
 from pathlib import Path
 from typing import TypeVar
