@@ -114,10 +114,10 @@ class CycleController(NamedTuple):
                       coordinates (NaN = none).
     ``consts``      — loop-invariant data (model weights, playback tables).
                       Threaded into jit as an argument and through the scan as
-                      a pass-through carry: large arrays must NEVER be closure
-                      constants, or XLA re-stages them every while-loop
-                      iteration (measured 50× slowdown on TPU).  Shared across
-                      streams (vmap broadcasts it).
+                      a pass-through carry, so large arrays are never baked as
+                      program constants and the compiled runner can be cached
+                      and reused across calls (see docs/performance.md).
+                      Shared across streams (vmap broadcasts it).
     """
 
     init: Callable[[], Any]
