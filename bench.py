@@ -19,8 +19,38 @@ import time
 import numpy as np
 
 
+def _device_health_check(timeout_s: int = 180) -> bool:
+    """Run a trivial op with a hard timeout — the axon tunnel can wedge in a
+    state where every jax call (even devices()) blocks forever."""
+    import subprocess
+    import sys
+
+    code = "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones((8, 128)))))"
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, timeout=timeout_s, text=True
+        )
+        return "1024.0" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     os.environ.setdefault("WTRACKER_TPU_NO_X64", "")  # keep x64 default
+
+    if not _device_health_check():
+        print(
+            json.dumps(
+                {
+                    "metric": "closed-loop sim steps/sec/chip (YOLOv8s@416+ResMLP, every frame detected)",
+                    "value": 0.0,
+                    "unit": "steps/s",
+                    "vs_baseline": 0.0,
+                    "note": "device unavailable: the TPU tunnel did not answer a trivial op within 180s",
+                }
+            )
+        )
+        return
 
     import jax
     import jax.numpy as jnp
