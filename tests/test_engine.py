@@ -118,3 +118,31 @@ def test_engine_mlp_parity(setup):
     logs = run_engine(params, ctl, exp.init_position, n_cycles)
     engine = logs_to_frame(params, logs)
     _compare(host, engine, tmp)
+
+
+def test_engine_csv_parity_default_timing(tmp_path):
+    """Byte parity also holds at the reference's default 200/40/50ms regime
+    (15-frame cycles; different camera-ring offsets than the small config)."""
+    from tests.synthetic import make_worm_csv
+    from wtracker_tpu.sim.controllers import CsvController
+
+    worm_csv = str(tmp_path / "worm.csv")
+    make_worm_csv(worm_csv, num_frames=460)
+
+    exp = ExperimentConfig(
+        name="d", num_frames=460, frames_per_sec=60, orig_resolution=(500, 600),
+        px_per_mm=90, init_position=(300, 250),
+    )
+    timing = TimingConfig(
+        experiment_config=exp, imaging_time_ms=200.0, pred_time_ms=40.0, moving_time_ms=50.0,
+        camera_size_mm=(4.0, 4.0), micro_size_mm=(0.32, 0.32),
+    )
+    assert timing.cycle_frame_num == 15
+
+    params = EngineParams.from_timing(timing, headless_frame_shape(timing, exp.orig_resolution))
+    csv_data = pd.read_csv(worm_csv).to_numpy(dtype=float)
+
+    host = _host_log(tmp_path, worm_csv, exp, timing, CsvController(timing, worm_csv))
+    logs = run_engine(params, csv_controller(csv_data, params), exp.init_position,
+                      params.n_logged_cycles(exp.num_frames))
+    _compare(host, logs_to_frame(params, logs), tmp_path)
