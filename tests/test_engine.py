@@ -146,3 +146,33 @@ def test_engine_csv_parity_default_timing(tmp_path):
     logs = run_engine(params, csv_controller(csv_data, params), exp.init_position,
                       params.n_logged_cycles(exp.num_frames))
     _compare(host, logs_to_frame(params, logs), tmp_path)
+
+
+def test_engine_step_motor_parity(tmp_path):
+    """Engine with the step-motor profile matches the host simulator."""
+    from tests.synthetic import EXP_KWARGS, TIMING_KWARGS, make_worm_csv
+    from wtracker_tpu.sim.controllers import CsvController
+    from wtracker_tpu.sim.motor import StepMotorController
+
+    worm_csv = str(tmp_path / "worm.csv")
+    make_worm_csv(worm_csv)
+
+    exp = ExperimentConfig(**EXP_KWARGS)
+    timing = TimingConfig(experiment_config=exp, **TIMING_KWARGS)
+    params = EngineParams.from_timing(
+        timing, headless_frame_shape(timing, exp.orig_resolution), motor="step"
+    )
+    csv_data = pd.read_csv(worm_csv).to_numpy(dtype=float)
+
+    from wtracker_tpu.sim.controllers import LogConfig, LoggingController
+    from wtracker_tpu.sim.simulator import Simulator
+
+    root = tmp_path / "host-step"
+    ctl = LoggingController(
+        CsvController(timing, worm_csv), LogConfig(root_folder=str(root), save_err_view=False)
+    )
+    Simulator(timing, exp, ctl, motor_controller=StepMotorController(timing)).run(progress=False)
+
+    logs = run_engine(params, csv_controller(csv_data, params), exp.init_position,
+                      params.n_logged_cycles(exp.num_frames))
+    _compare(str(root / "bboxes.csv"), logs_to_frame(params, logs), tmp_path)

@@ -62,9 +62,28 @@ class EngineParams:
         return self.imaging_n + self.moving_n
 
     @staticmethod
-    def from_timing(timing: TimingConfig, frame_shape_hw: tuple[int, int]) -> "EngineParams":
+    def from_timing(
+        timing: TimingConfig,
+        frame_shape_hw: tuple[int, int],
+        motor: str = "sine",
+        move_after_ratio: float = 0.5,
+    ) -> "EngineParams":
         """Derive engine params from a TimingConfig and the (h, w) frame bounds
-        the platform position is clamped to (reader frame shape)."""
+        the platform position is clamped to (reader frame shape).
+
+        ``motor`` selects the movement profile: "sine" (the simulator default,
+        simulator.py:46-47) or "step" (all-at-once after ``move_after_ratio``
+        of the phase, motor_controllers.py:33-55) — both run through the same
+        residual-rounding mechanism (a step profile rounds exactly).
+        """
+        if motor == "sine":
+            weights = sine_step_weights(timing.moving_frame_num)
+        elif motor == "step":
+            from wtracker_tpu.sim.motor import step_weights
+
+            weights = step_weights(timing.moving_frame_num, move_after_ratio)
+        else:
+            raise ValueError(f"unknown motor profile: {motor}")
         return EngineParams(
             imaging_n=timing.imaging_frame_num,
             pred_n=timing.pred_frame_num,
@@ -75,7 +94,7 @@ class EngineParams:
             mic_h=timing.micro_size_px[1],
             frame_h=int(frame_shape_hw[0]),
             frame_w=int(frame_shape_hw[1]),
-            motor_weights=tuple(sine_step_weights(timing.moving_frame_num).tolist()),
+            motor_weights=tuple(weights.tolist()),
         )
 
     def n_logged_cycles(self, num_frames: int) -> int:
