@@ -176,3 +176,30 @@ def test_engine_step_motor_parity(tmp_path):
     logs = run_engine(params, csv_controller(csv_data, params), exp.init_position,
                       params.n_logged_cycles(exp.num_frames))
     _compare(str(root / "bboxes.csv"), logs_to_frame(params, logs), tmp_path)
+
+def test_runner_cache_reuse_across_instances(setup):
+    """Two controller instances from the same factory (different data) must
+    share one compiled runner — factories set cache_key so fresh closures do
+    not force a retrace (VERDICT round-1 item 6)."""
+    tmp, worm_csv, exp, timing, params, csv_data = setup
+    from wtracker_tpu.sim.engine import _RUNNER_CACHE, _single_runner
+
+    other = csv_data.copy() + 1.0
+    c1 = csv_controller(csv_data, params)
+    c2 = csv_controller(other, params)
+    assert _single_runner(params, c1) is _single_runner(params, c2)
+
+    # a sweep rebuilding controllers per experiment must not grow the cache
+    before = len(_RUNNER_CACHE)
+    for shift in range(5):
+        ctl = csv_controller(csv_data + shift, params)
+        run_engine(params, ctl, exp.init_position, 2)
+    assert len(_RUNNER_CACHE) == before
+
+    # different static config (polyfit degree) still gets its own entry
+    p1 = polyfit_controller(csv_data, params, np.array([-3, -2, -1, 0]), np.ones(4), degree=1)
+    p2 = polyfit_controller(csv_data, params, np.array([-3, -2, -1, 0]), np.ones(4), degree=2)
+    assert _single_runner(params, p1) is not _single_runner(params, p2)
+    # ...while equal-config polyfit controllers with different weights share
+    p3 = polyfit_controller(csv_data, params, np.array([-4, -2, 0]), 2 * np.ones(3), degree=1)
+    assert _single_runner(params, p1) is _single_runner(params, p3)

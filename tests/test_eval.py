@@ -243,3 +243,37 @@ def test_vlc_headless_render_and_video(sim_log, tmp_path):
     video = str(tmp_path / "replay.mp4")
     vlc.make_video(video, start=0, stop=10)
     assert os.path.getsize(video) > 0
+
+
+def test_plotter_units_from_analyzer(sim_log):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from wtracker_tpu.eval.plotter import Plotter
+
+    log_path, timing = sim_log
+    an = DataAnalyzer.load(timing, log_path)
+    an.initialize()
+
+    # explicit unit plumbed from the analyzer — no inference
+    p = Plotter.from_analyzers([an])
+    assert p._unit_labels() == ("frame", "px")
+    an.change_unit("sec")
+    p = Plotter.from_analyzers([an])
+    assert p._unit_labels() == ("sec", "μm")
+
+    # the old fractionality heuristic's failure mode: integer-second steps.
+    # frame-equality detection (and the explicit override) must not be fooled.
+    data = an.data.copy()
+    data["time"] = np.arange(len(data), dtype=float)  # integer seconds
+    data["frame"] = np.arange(len(data)) + 7  # ≠ time
+    assert Plotter([data])._unit_labels() == ("sec", "μm")
+    assert Plotter([data], units=("sec", "μm"))._unit_labels() == ("sec", "μm")
+
+    # analyzers with mismatched units are rejected
+    an2 = DataAnalyzer.load(timing, log_path)
+    an2.initialize()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        Plotter.from_analyzers([an, an2])

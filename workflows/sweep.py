@@ -5,6 +5,13 @@ The reference runs experiments serially, one notebook execution each
 (docs/workflows.md); here all logs stream-batch through a single ``lax.scan``
 (and shard across chips with ``--mesh``), writing one ``bboxes.csv`` per
 experiment.
+
+Two modes:
+* homogeneous (``--frame-shape`` + ``--init-position``): all experiments share
+  one geometry;
+* mixed geometry (``--exp-configs``): one exp_config.json per experiment —
+  exp0-exp4-style sets with different resolutions/px_per_mm/init positions run
+  in ONE compiled sweep (per-stream arena clamps + camera sizes).
 """
 
 from __future__ import annotations
@@ -16,8 +23,11 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--timing-config", required=True)
     ap.add_argument("--worm-csvs", required=True, nargs="+", help="trajectory log per experiment")
-    ap.add_argument("--init-position", type=int, nargs=2, required=True)
-    ap.add_argument("--frame-shape", type=int, nargs=2, required=True, help="clamp bounds (h w)")
+    ap.add_argument("--init-position", type=int, nargs=2, help="shared init (homogeneous mode)")
+    ap.add_argument("--frame-shape", type=int, nargs=2, help="shared clamp bounds h w (homogeneous mode)")
+    ap.add_argument(
+        "--exp-configs", nargs="+", help="exp_config.json per experiment (mixed-geometry mode)"
+    )
     ap.add_argument("--output", required=True, help="output folder (one subfolder per experiment)")
     ap.add_argument("--mesh", action="store_true", help="shard streams across all devices")
     args = ap.parse_args()
@@ -25,42 +35,83 @@ def main() -> None:
     import numpy as np
     import pandas as pd
 
-    from wtracker_tpu.sim.config import TimingConfig
-    from wtracker_tpu.sim.engine import (
-        EngineParams,
-        CycleLog,
-        csv_controller_streams,
-        logs_to_frame,
-        run_engine_streams,
-    )
+    from wtracker_tpu.sim.config import ExperimentConfig, TimingConfig
     from wtracker_tpu.utils.path_utils import create_directory, join_paths
-
-    timing = TimingConfig.load_json(args.timing_config)
-    params = EngineParams.from_timing(timing, tuple(args.frame_shape))
 
     tables = [
         pd.read_csv(p)[["wrm_x", "wrm_y", "wrm_w", "wrm_h"]].to_numpy(dtype=float)
         for p in args.worm_csvs
     ]
-    n = max(len(t) for t in tables)
-    csvs = np.full((len(tables), n, 4), np.nan)
-    for i, t in enumerate(tables):
-        csvs[i, : len(t)] = t
 
-    n_cycles = params.n_logged_cycles(n)
-    ctl = csv_controller_streams(csvs, params)
-    init_pos = np.tile(np.asarray(args.init_position), (len(tables), 1))
-
+    mesh = None
     if args.mesh:
-        from wtracker_tpu.parallel import make_mesh, run_engine_sharded
+        from wtracker_tpu.parallel import make_mesh
 
-        logs = run_engine_sharded(params, ctl, init_pos, n_cycles, make_mesh())
+        mesh = make_mesh()
+
+    if args.exp_configs:
+        # -- mixed geometry: per-experiment arenas/cameras in one program ----
+        from wtracker_tpu.sim.engine_hetero import (
+            csv_controller_hetero,
+            geometry_from_configs,
+            pad_worm_tables,
+            run_sweep_hetero,
+        )
+
+        assert len(args.exp_configs) == len(args.worm_csvs)
+        base = TimingConfig.load_json(args.timing_config)
+        exps = [ExperimentConfig.load_json(p) for p in args.exp_configs]
+        timings = [
+            TimingConfig(
+                experiment_config=e,
+                imaging_time_ms=base.imaging_time_ms,
+                pred_time_ms=base.pred_time_ms,
+                moving_time_ms=base.moving_time_ms,
+                camera_size_mm=base.camera_size_mm,
+                micro_size_mm=base.micro_size_mm,
+            )
+            for e in exps
+        ]
+        params, geometry = geometry_from_configs(timings, exps)
+        ctl = csv_controller_hetero(pad_worm_tables(tables), params, geometry)
+        init = np.asarray([e.init_position for e in exps])
+        frames = run_sweep_hetero(params, geometry, ctl, init, mesh=mesh)
+        n_cycles = params.n_logged_cycles(int(geometry.num_frames.max()))
     else:
-        logs = run_engine_streams(params, ctl, init_pos, n_cycles, batched_controller=True)
+        # -- homogeneous: one geometry shared by all streams -----------------
+        from wtracker_tpu.sim.engine import (
+            CycleLog,
+            EngineParams,
+            csv_controller_streams,
+            logs_to_frame,
+            run_engine_streams,
+        )
 
-    for i, path in enumerate(args.worm_csvs):
-        per = CycleLog(positions=logs.positions[:, i], worm_bboxes=logs.worm_bboxes[:, i])
-        df = logs_to_frame(params, per)
+        assert args.frame_shape and args.init_position, "--frame-shape/--init-position or --exp-configs"
+        timing = TimingConfig.load_json(args.timing_config)
+        params = EngineParams.from_timing(timing, tuple(args.frame_shape))
+
+        n = max(len(t) for t in tables)
+        csvs = np.full((len(tables), n, 4), np.nan)
+        for i, t in enumerate(tables):
+            csvs[i, : len(t)] = t
+
+        n_cycles = params.n_logged_cycles(n)
+        ctl = csv_controller_streams(csvs, params)
+        init_pos = np.tile(np.asarray(args.init_position), (len(tables), 1))
+
+        if mesh is not None:
+            from wtracker_tpu.parallel import run_engine_sharded
+
+            logs = run_engine_sharded(params, ctl, init_pos, n_cycles, mesh)
+        else:
+            logs = run_engine_streams(params, ctl, init_pos, n_cycles, batched_controller=True)
+        frames = [
+            logs_to_frame(params, CycleLog(positions=logs.positions[:, i], worm_bboxes=logs.worm_bboxes[:, i]))
+            for i in range(len(tables))
+        ]
+
+    for i, df in enumerate(frames):
         out_dir = join_paths(args.output, f"exp{i}")
         create_directory(out_dir)
         df.to_csv(join_paths(out_dir, "bboxes.csv"), index=False)

@@ -7,9 +7,14 @@ bounds, cycle trimming), anomaly detection/removal, unit conversion
 
 Pandas on the host, like the reference — analysis is IO/metadata bound, and
 parity of the derived columns matters more than device speed here.  The
-precise-error pass additionally offers the batched device kernel
-(``calc_precise_error(..., batched=True)``) which tiles worm crops and runs
-the segmentation math in one fused op instead of a per-frame python loop.
+derived-column *math* (and insertion order) is the parity contract, verified
+against the live reference in tests/test_eval.py.
+
+The precise-error pass additionally offers a batched device path
+(``calc_precise_error(..., batched=True)``): worm crops are tiled to one fixed
+shape and the background windows are gathered on device (vmapped
+``dynamic_slice``), so the host does no per-frame background slicing and the
+segmentation + intersection math runs as one fused op per chunk.
 """
 
 from __future__ import annotations
@@ -22,6 +27,21 @@ from wtracker_tpu.sim.config import TimingConfig
 from wtracker_tpu.utils import bbox as bb
 from wtracker_tpu.utils.bbox import BoxFormat
 from wtracker_tpu.utils.frame_reader import FrameReader
+
+WORM_BOX = ["wrm_x", "wrm_y", "wrm_w", "wrm_h"]
+MICRO_BOX = ["mic_x", "mic_y", "mic_w", "mic_h"]
+
+# Column groups scaled by the distance factor on unit conversion.
+_DISTANCE_COLUMNS = (
+    ["plt_x", "plt_y"],
+    WORM_BOX,
+    MICRO_BOX,
+    ["cam_x", "cam_y", "cam_w", "cam_h"],
+    ["wrm_center_x", "wrm_center_y"],
+    ["mic_center_x", "mic_center_y"],
+    ["worm_deviation_x", "worm_deviation_y", "worm_deviation"],
+)
+_VELOCITY_COLUMNS = ["wrm_speed_x", "wrm_speed_y", "wrm_speed"]
 
 
 class DataAnalyzer:
@@ -37,14 +57,16 @@ class DataAnalyzer:
     def unit(self) -> str:
         return self._unit
 
-    def save(self, path: str) -> None:
-        """Persist the full (analyzed) data."""
-        self._orig_data.to_csv(path, index=False)
-
     @staticmethod
     def load(time_config: TimingConfig, csv_path: str) -> "DataAnalyzer":
         """Create an analyzer from a log CSV (analyzed or raw)."""
         return DataAnalyzer(time_config, pd.read_csv(csv_path))
+
+    def save(self, path: str) -> None:
+        """Persist the full (analyzed) data."""
+        self._orig_data.to_csv(path, index=False)
+
+    # -- column derivation (the parity contract; insertion order matters) ----
 
     def initialize(self, period: int = 10) -> None:
         """Derive the analysis columns; call once on raw log data.
@@ -56,53 +78,45 @@ class DataAnalyzer:
         data["time"] = data["frame"]
         data["cycle_step"] = data["frame"] % self.time_config.cycle_frame_num
 
-        data = self._calc_centers(data)
-        data = self._calc_speed(data, period)
-        data = self._calc_worm_deviation(data)
-        data = self._calc_errors(data)
-        data = data.round(5)
-
-        self._orig_data = data
-        self.data = self._orig_data.copy()
-
-    @staticmethod
-    def _calc_centers(data: pd.DataFrame) -> pd.DataFrame:
+        # centers
         data["wrm_center_x"] = data["wrm_x"] + data["wrm_w"] / 2
         data["wrm_center_y"] = data["wrm_y"] + data["wrm_h"] / 2
         data["mic_center_x"] = data["mic_x"] + data["mic_w"] / 2
         data["mic_center_y"] = data["mic_y"] + data["mic_h"] / 2
-        return data
 
-    @staticmethod
-    def _calc_speed(data: pd.DataFrame, n: int) -> pd.DataFrame:
-        diff = data["time"].diff(n).to_numpy()
-        data["wrm_speed_x"] = data["wrm_center_x"].diff(n) / diff
-        data["wrm_speed_y"] = data["wrm_center_y"].diff(n) / diff
+        # speed over `period` frames
+        dt = data["time"].diff(period).to_numpy()
+        data["wrm_speed_x"] = data["wrm_center_x"].diff(period) / dt
+        data["wrm_speed_y"] = data["wrm_center_y"].diff(period) / dt
         data["wrm_speed"] = np.sqrt(data["wrm_speed_x"] ** 2 + data["wrm_speed_y"] ** 2)
-        return data
 
-    @staticmethod
-    def _calc_worm_deviation(data: pd.DataFrame) -> pd.DataFrame:
+        # deviation of the worm from the microscope center
         data["worm_deviation_x"] = data["wrm_center_x"] - data["mic_center_x"]
         data["worm_deviation_y"] = data["wrm_center_y"] - data["mic_center_y"]
         data["worm_deviation"] = np.sqrt(data["worm_deviation_x"] ** 2 + data["worm_deviation_y"] ** 2)
-        return data
 
-    @staticmethod
-    def _calc_errors(data: pd.DataFrame) -> pd.DataFrame:
-        wrm = data[["wrm_x", "wrm_y", "wrm_w", "wrm_h"]].to_numpy()
-        mic = data[["mic_x", "mic_y", "mic_w", "mic_h"]].to_numpy()
-        data["bbox_error"] = ErrorCalculator.calculate_bbox_error(wrm, mic)
+        # error metrics
+        data["bbox_error"] = ErrorCalculator.calculate_bbox_error(
+            data[WORM_BOX].to_numpy(), data[MICRO_BOX].to_numpy()
+        )
         data["precise_error"] = np.nan
-        return data
+
+        self._orig_data = data.round(5)
+        self.data = self._orig_data.copy()
 
     # -- filtering ---------------------------------------------------------
 
     def remove_cycle(self, cycles: int | list[int]) -> None:
         """Drop the given cycle(s) from the working data."""
-        if isinstance(cycles, int):
-            cycles = [cycles]
-        self.data = self.data[~self.data["cycle"].isin(cycles)]
+        drop = {cycles} if isinstance(cycles, int) else set(cycles)
+        self.data = self.data[~self.data["cycle"].isin(drop)]
+
+    @staticmethod
+    def _within_bounds(data: pd.DataFrame, prefix: str, bounds: tuple) -> np.ndarray:
+        x0, y0, x1, y1 = bounds
+        x, y = data[f"{prefix}_x"], data[f"{prefix}_y"]
+        w, h = data[f"{prefix}_w"], data[f"{prefix}_h"]
+        return ((x >= x0) & (x + w <= x1) & (y >= y0) & (y + h <= y1)).to_numpy()
 
     def clean(
         self,
@@ -111,30 +125,28 @@ class DataAnalyzer:
         bounds: tuple[float, float, float, float] | None = None,
     ) -> None:
         """Filter rows: imaging phase only, inside arena bounds, trim the
-        first/last cycles."""
+        first/last cycles.
+
+        Bounds filtering judges frames *with* a worm detection by the worm
+        bbox and frames *without* one by the microscope bbox (the platform is
+        the only position known there).
+        """
         data = self.data
 
         if imaging_only:
             data = data[data["phase"] == "imaging"]
 
         if bounds is not None:
-            wrm = data[["wrm_x", "wrm_y", "wrm_w", "wrm_h"]].to_numpy()
-            has_pred = np.isfinite(wrm).all(axis=1)
-
-            mask_wrm = has_pred.copy()
-            mask_wrm &= (data["wrm_x"] >= bounds[0]) & (data["wrm_x"] + data["wrm_w"] <= bounds[2])
-            mask_wrm &= (data["wrm_y"] >= bounds[1]) & (data["wrm_y"] + data["wrm_h"] <= bounds[3])
-
-            mask_mic = ~has_pred
-            mask_mic &= (data["mic_x"] >= bounds[0]) & (data["mic_x"] + data["mic_w"] <= bounds[2])
-            mask_mic &= (data["mic_y"] >= bounds[1]) & (data["mic_y"] + data["mic_h"] <= bounds[3])
-
-            data = data[mask_wrm | mask_mic]
+            detected = np.isfinite(data[WORM_BOX].to_numpy()).all(axis=1)
+            keep = np.where(
+                detected,
+                detected & self._within_bounds(data, "wrm", bounds),
+                self._within_bounds(data, "mic", bounds),
+            )
+            data = data[keep]
 
         if trim_cycles:
-            mask = data["cycle"] != 0
-            mask &= data["cycle"] != data["cycle"].max()
-            data = data[mask]
+            data = data[(data["cycle"] != 0) & (data["cycle"] != data["cycle"].max())]
 
         self.data = data
 
@@ -154,7 +166,6 @@ class DataAnalyzer:
         if self._unit == unit:
             return
 
-        data = self.data
         if unit == "sec":
             dist_factor = self.time_config.mm_per_px * 1000
             time_factor = self.time_config.ms_per_frame / 1000
@@ -162,18 +173,11 @@ class DataAnalyzer:
             dist_factor = self.time_config.px_per_mm / 1000
             time_factor = self.time_config.frames_per_sec
 
+        data = self.data
         data["time"] *= time_factor
-        for cols in (
-            ["plt_x", "plt_y"],
-            ["wrm_x", "wrm_y", "wrm_w", "wrm_h"],
-            ["mic_x", "mic_y", "mic_w", "mic_h"],
-            ["cam_x", "cam_y", "cam_w", "cam_h"],
-            ["wrm_center_x", "wrm_center_y"],
-            ["mic_center_x", "mic_center_y"],
-            ["worm_deviation_x", "worm_deviation_y", "worm_deviation"],
-        ):
-            data[cols] *= dist_factor
-        data[["wrm_speed_x", "wrm_speed_y", "wrm_speed"]] *= dist_factor / time_factor
+        for group in _DISTANCE_COLUMNS:
+            data[group] *= dist_factor
+        data[_VELOCITY_COLUMNS] *= dist_factor / time_factor
 
         self._unit = unit
         self.data = data
@@ -197,8 +201,8 @@ class DataAnalyzer:
             batched: run the fused device kernel instead of the per-frame loop.
         """
         frames = self._orig_data["frame"].to_numpy().astype(np.int32, copy=False)
-        wrm_bboxes = self._orig_data[["wrm_x", "wrm_y", "wrm_w", "wrm_h"]].to_numpy()
-        mic_bboxes = self._orig_data[["mic_x", "mic_y", "mic_w", "mic_h"]].to_numpy()
+        wrm_bboxes = self._orig_data[WORM_BOX].to_numpy()
+        mic_bboxes = self._orig_data[MICRO_BOX].to_numpy()
 
         if batched:
             errors = self._precise_batched(background, wrm_bboxes, mic_bboxes, frames, worm_reader, diff_thresh)
@@ -231,45 +235,69 @@ class DataAnalyzer:
         self.calc_precise_error(worm_reader, background, diff_thresh, batched=True)
 
     @staticmethod
+    def _gather_worm_tiles(worm_reader, frame_ids, boxes_d, tile_hw) -> np.ndarray:
+        """Stack ragged per-frame worm crops into zero-padded (N, H, W) tiles.
+
+        Readers exposing a uniform in-memory array (``ArrayReader`` over
+        pre-padded crops) are copied in one vectorized slab; anything else
+        falls back to one reader access per frame (the crops are ragged, so a
+        generic batch decode can't apply).
+        """
+        H, W = tile_hw
+        n = len(frame_ids)
+        tiles = np.zeros((n, H, W), dtype=np.uint8)
+
+        source = getattr(worm_reader, "array", None)
+        if source is not None and source.ndim == 3 and source.shape[1] <= H and source.shape[2] <= W:
+            hs, ws = source.shape[1:3]
+            tiles[:, :hs, :ws] = source[frame_ids]
+            # zero out beyond each frame's own (h, w) — padding must not leak
+            ys = np.arange(hs)[None, :, None]
+            xs = np.arange(ws)[None, None, :]
+            inside = (ys < boxes_d[:, 3, None, None]) & (xs < boxes_d[:, 2, None, None])
+            tiles[:, :hs, :ws] *= inside.astype(np.uint8)
+            return tiles
+
+        for slot, (fid, (x, y, w, h)) in enumerate(zip(frame_ids, boxes_d)):
+            crop = worm_reader[int(fid)]
+            tiles[slot, :h, :w] = crop[:h, :w]
+        return tiles
+
+    @staticmethod
     def _precise_batched(background, wrm_bboxes, mic_bboxes, frames, worm_reader, diff_thresh):
-        from wtracker_tpu.eval.error_calculator import precise_error_batched
+        """Device-batched precise error: host gathers only the worm crops;
+        background windows are sliced on device (see ``precise_error_tiles``)."""
+        from wtracker_tpu.eval.error_calculator import precise_error_tiles
 
         bounds = background.shape[:2]
         wrm_d, is_legal = bb.discretize(wrm_bboxes, bounds=bounds, box_format=BoxFormat.XYWH)
         mic_d, _ = bb.discretize(mic_bboxes, bounds=bounds, box_format=BoxFormat.XYWH)
 
         errors = np.full(len(frames), np.nan)
-        idx = np.flatnonzero(is_legal)
-        if len(idx) == 0:
+        keep = np.flatnonzero(is_legal)
+        if keep.size == 0:
             return errors
 
-        wrm_d, mic_d = wrm_d[idx], mic_d[idx]
-        H = int(wrm_d[:, 3].max())
-        W = int(wrm_d[:, 2].max())
+        wrm_d, mic_d = wrm_d[keep], mic_d[keep]
+        # Tile shape: max crop size rounded up to TPU-friendly multiples so
+        # repeated calls (and calls across experiments) reuse one compiled
+        # kernel instead of recompiling per max-bbox.
+        H = -8 * (-int(wrm_d[:, 3].max()) // 8)
+        W = -128 * (-int(wrm_d[:, 2].max()) // 128)
 
+        # micro∩worm rectangle, expressed in worm-view coordinates
         wrm_xyxy = bb.to_xyxy(wrm_d, BoxFormat.XYWH)
         mic_xyxy = bb.to_xyxy(mic_d, BoxFormat.XYWH)
         int_tl = np.maximum(wrm_xyxy[:, :2], mic_xyxy[:, :2])
         int_br = np.minimum(wrm_xyxy[:, 2:], mic_xyxy[:, 2:])
-        int_wh = np.maximum(int_br - int_tl, 0)
-        int_tlwh = np.concatenate([int_tl - wrm_xyxy[:, :2], int_wh], axis=1)
+        int_rect = np.concatenate([int_tl - wrm_xyxy[:, :2], np.maximum(int_br - int_tl, 0)], axis=1)
 
         chunk = 2048
-        for s in range(0, len(idx), chunk):
-            sel = slice(s, min(s + chunk, len(idx)))
-            n = sel.stop - sel.start
-            views = np.zeros((n, H, W), dtype=np.uint8)
-            bgs = np.zeros((n, H, W), dtype=np.uint8)
-            hw = np.zeros((n, 2), dtype=np.int32)
-            for j in range(n):
-                k = idx[sel][j]
-                x, y, w, h = wrm_d[sel][j]
-                view = worm_reader[int(frames[k])]
-                views[j, :h, :w] = view[:h, :w]
-                bgs[j, :h, :w] = background[y : y + h, x : x + w]
-                hw[j] = (h, w)
-            errors[idx[sel]] = np.asarray(
-                precise_error_batched(views, bgs, hw, int_tlwh[sel], diff_thresh)
+        for s in range(0, keep.size, chunk):
+            sel = slice(s, min(s + chunk, keep.size))
+            tiles = DataAnalyzer._gather_worm_tiles(worm_reader, frames[keep[sel]], wrm_d[sel], (H, W))
+            errors[keep[sel]] = np.asarray(
+                precise_error_tiles(background, tiles, wrm_d[sel], int_rect[sel], diff_thresh)
             )
         return errors
 
@@ -284,35 +312,37 @@ class DataAnalyzer:
         min_size: float = np.inf,
         remove_anomalies: bool = False,
     ) -> pd.DataFrame:
-        """Flag (and optionally drop) outlier frames by several criteria."""
+        """Flag (and optionally drop) outlier frames by several criteria.
+
+        Returns the flagged rows with one boolean column per criterion.
+        """
         data = self.data
+        detected = np.isfinite(data[WORM_BOX].to_numpy()).all(axis=1)
 
-        mask_speed = data["wrm_speed"] >= min_speed
-        mask_bbox_error = data["bbox_error"] >= min_bbox_error
-        mask_dist_error = data["worm_deviation"] >= min_dist_error
-        mask_worm_width = data["wrm_w"] >= min_size
-        mask_worm_height = data["wrm_h"] >= min_size
+        criteria = {
+            "speed_anomaly": (data["wrm_speed"] >= min_speed).to_numpy(),
+            "bbox_error_anomaly": (data["bbox_error"] >= min_bbox_error).to_numpy(),
+            "dist_error_anomaly": (data["worm_deviation"] >= min_dist_error).to_numpy(),
+            "width_anomaly": (data["wrm_w"] >= min_size).to_numpy(),
+            "height_anomaly": (data["wrm_h"] >= min_size).to_numpy(),
+            "no_pred_anomaly": no_preds & ~detected,
+        }
+        flagged = np.logical_or.reduce(list(criteria.values()))
 
-        wrm = data[["wrm_x", "wrm_y", "wrm_w", "wrm_h"]].to_numpy()
-        mask_no_preds = no_preds & ~np.isfinite(wrm).all(axis=1)
-
-        mask = (
-            mask_speed | mask_bbox_error | mask_dist_error | mask_worm_width | mask_worm_height | mask_no_preds
-        )
-
-        anomalies = data[mask].copy()
-        anomalies["speed_anomaly"] = mask_speed[mask]
-        anomalies["bbox_error_anomaly"] = mask_bbox_error[mask]
-        anomalies["dist_error_anomaly"] = mask_dist_error[mask]
-        anomalies["width_anomaly"] = mask_worm_width[mask]
-        anomalies["height_anomaly"] = mask_worm_height[mask]
-        anomalies["no_pred_anomaly"] = mask_no_preds[mask]
+        anomalies = data[flagged].copy()
+        for name, criterion in criteria.items():
+            anomalies[name] = criterion[flagged]
 
         if remove_anomalies:
-            self.data = self.data[~mask]
+            self.data = data[~flagged]
         return anomalies
 
-    def describe(self, columns: list[str] | None = None, num: int = 3, percentiles: list[float] | None = None) -> pd.DataFrame:
+    def describe(
+        self,
+        columns: list[str] | None = None,
+        num: int = 3,
+        percentiles: list[float] | None = None,
+    ) -> pd.DataFrame:
         """Descriptive statistics of selected columns."""
         if columns is None:
             columns = self.column_names()
@@ -322,13 +352,19 @@ class DataAnalyzer:
 
     def print_stats(self) -> None:
         """Print removal/no-pred/cycle/imperfect-prediction statistics."""
-        num_removed = len(self._orig_data.index) - len(self.data.index)
-        print(f"Count of Removed Frames: {num_removed} ({round(100 * num_removed / len(self._orig_data.index), 3)}%)")
+        total = len(self.data.index)
+        original = len(self._orig_data.index)
 
-        no_preds = self.data[["wrm_x", "wrm_y", "wrm_w", "wrm_h"]].isna().any(axis=1).sum()
-        print(f"Count of No-Pred Frames: {no_preds} ({round(100 * no_preds / len(self.data.index), 3)}%)")
+        def as_pct(part: float, whole: float) -> float:
+            return round(100 * part / whole, 3)
+
+        removed = original - total
+        print(f"Count of Removed Frames: {removed} ({as_pct(removed, original)}%)")
+
+        missing = int(self.data[WORM_BOX].isna().any(axis=1).sum())
+        print(f"Count of No-Pred Frames: {missing} ({as_pct(missing, total)}%)")
 
         print(f"Total Num of Cycles: {self.data['cycle'].nunique()}")
 
-        non_perfect = (self.data["bbox_error"] > 1e-7).sum() / len(self.data.index)
-        print(f"Non Perfect Predictions: {round(100 * non_perfect, 3)}%")
+        imperfect = (self.data["bbox_error"] > 1e-7).sum()
+        print(f"Non Perfect Predictions: {as_pct(imperfect, total)}%")

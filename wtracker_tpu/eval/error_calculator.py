@@ -145,6 +145,30 @@ class ErrorCalculator:
 # ---------------------------------------------------------------------------
 
 
+def _precise_tile_math(worm_views, bg_views, view_hw, int_tlwh, diff_thresh):
+    """Shared mask/intersection math over padded (N, H, W) tiles (traced)."""
+    import jax.numpy as jnp
+
+    H, W = worm_views.shape[1:3]
+    ys = jnp.arange(H)[None, :, None]
+    xs = jnp.arange(W)[None, None, :]
+
+    valid = (ys < view_hw[:, 0, None, None]) & (xs < view_hw[:, 1, None, None])
+    diff = jnp.abs(worm_views.astype(jnp.int32) - bg_views.astype(jnp.int32))
+    mask_wrm = (diff > diff_thresh) & valid
+
+    x0 = int_tlwh[:, 0, None, None]
+    y0 = int_tlwh[:, 1, None, None]
+    in_mic = (xs >= x0) & (xs < x0 + int_tlwh[:, 2, None, None]) & (ys >= y0) & (
+        ys < y0 + int_tlwh[:, 3, None, None]
+    )
+
+    total = jnp.sum(mask_wrm, axis=(1, 2))
+    inter = jnp.sum(mask_wrm & in_mic, axis=(1, 2))
+    err = 1.0 - inter / jnp.maximum(total, 1)
+    return jnp.where(total == 0, 0.0, err).astype(jnp.float32)
+
+
 def precise_error_batched(
     worm_views: np.ndarray,
     bg_views: np.ndarray,
@@ -152,7 +176,7 @@ def precise_error_batched(
     int_tlwh: np.ndarray,
     diff_thresh: float = 10,
 ):
-    """Batched precise error on device.
+    """Batched precise error on device (caller-assembled background crops).
 
     All views are padded to one fixed tile shape; per-view masks carve out the
     valid region, so the whole batch is a single fused elementwise+reduce.
@@ -170,25 +194,61 @@ def precise_error_batched(
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def kernel(worm_views, bg_views, view_hw, int_tlwh):
-        H, W = worm_views.shape[1:3]
-        ys = jnp.arange(H)[None, :, None]
-        xs = jnp.arange(W)[None, None, :]
-
-        valid = (ys < view_hw[:, 0, None, None]) & (xs < view_hw[:, 1, None, None])
-        diff = jnp.abs(worm_views.astype(jnp.int32) - bg_views.astype(jnp.int32))
-        mask_wrm = (diff > diff_thresh) & valid
-
-        x0 = int_tlwh[:, 0, None, None]
-        y0 = int_tlwh[:, 1, None, None]
-        in_mic = (xs >= x0) & (xs < x0 + int_tlwh[:, 2, None, None]) & (ys >= y0) & (
-            ys < y0 + int_tlwh[:, 3, None, None]
-        )
-
-        total = jnp.sum(mask_wrm, axis=(1, 2))
-        inter = jnp.sum(mask_wrm & in_mic, axis=(1, 2))
-        err = 1.0 - inter / jnp.maximum(total, 1)
-        return jnp.where(total == 0, 0.0, err).astype(jnp.float32)
-
+    kernel = jax.jit(lambda v, b, hw, r: _precise_tile_math(v, b, hw, r, diff_thresh))
     return kernel(jnp.asarray(worm_views), jnp.asarray(bg_views), jnp.asarray(view_hw), jnp.asarray(int_tlwh))
+
+
+_TILES_KERNEL_CACHE: dict = {}
+
+
+def precise_error_tiles(
+    background: np.ndarray,
+    worm_views: np.ndarray,
+    boxes_xywh: np.ndarray,
+    int_tlwh: np.ndarray,
+    diff_thresh: float = 10,
+):
+    """Batched precise error with *device-side* background-crop gathering.
+
+    Unlike :func:`precise_error_batched`, the caller ships the full arena
+    background once; the matching (H, W) window for every worm box is gathered
+    on device with a vmapped ``dynamic_slice`` — no per-frame host assembly of
+    background crops (VERDICT round-1 item 7).
+
+    Args:
+        background: (Hbg, Wbg) uint8 full-arena background.
+        worm_views: (N, H, W) uint8 worm crops, zero-padded to the tile.
+        boxes_xywh: (N, 4) int32 discretized worm boxes in arena coords.
+        int_tlwh: (N, 4) int — micro∩worm rectangle in view coords (x, y, w, h).
+        diff_thresh: foreground threshold.
+
+    Returns:
+        (N,) f32 errors.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    H, W = worm_views.shape[1:3]
+    key = (H, W, float(diff_thresh))
+    kernel = _TILES_KERNEL_CACHE.get(key)
+    if kernel is None:
+
+        def _impl(bg, views, boxes, rects):
+            # Pad so an (H, W) window starting anywhere inside the arena never
+            # clamps (a clamped dynamic_slice start would misalign the crop).
+            bgp = jnp.pad(bg, ((0, H), (0, W)))
+            starts = boxes.astype(jnp.int32)
+            bg_views = jax.vmap(lambda b: lax.dynamic_slice(bgp, (b[1], b[0]), (H, W)))(starts)
+            view_hw = boxes[:, (3, 2)]
+            return _precise_tile_math(views, bg_views, view_hw, rects, diff_thresh)
+
+        kernel = jax.jit(_impl)
+        _TILES_KERNEL_CACHE[key] = kernel
+
+    return kernel(
+        jnp.asarray(background),
+        jnp.asarray(worm_views),
+        jnp.asarray(boxes_xywh, dtype=np.int32),
+        jnp.asarray(int_tlwh, dtype=np.int32),
+    )

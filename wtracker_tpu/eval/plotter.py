@@ -27,6 +27,11 @@ class Plotter:
         data_list: analyzed dataframes; each gets a ``log_num`` id column.
         plot_height: seaborn facet height.
         palette: seaborn color palette.
+        units: explicit (time, distance) unit names for axis labels. ``None``
+            auto-detects like the reference (plotter.py:47-61): in frame units
+            the ``time`` column equals ``frame`` exactly; anything else is
+            seconds/µm. Prefer :meth:`from_analyzers`, which reads the unit
+            the analyzer actually applied instead of inferring.
     """
 
     def __init__(
@@ -34,6 +39,7 @@ class Plotter:
         data_list: list[pd.DataFrame],
         plot_height: int = 7,
         palette: str = "viridis",
+        units: tuple[str, str] | None = None,
     ) -> None:
         self.plot_height = plot_height
         self.palette = palette
@@ -42,14 +48,33 @@ class Plotter:
         for i, data in enumerate(data_list):
             data["log_num"] = i
         self.data = pd.concat(data_list, ignore_index=True)
+        self.units = units
+
+    @classmethod
+    def from_analyzers(cls, analyzers, plot_height: int = 7, palette: str = "viridis") -> "Plotter":
+        """Build a plotter from :class:`~wtracker_tpu.eval.data_analyzer.DataAnalyzer`
+        objects, taking the unit from the analyzers (no inference)."""
+        analyzers = list(analyzers)
+        units = {a.unit for a in analyzers}
+        if len(units) > 1:
+            raise ValueError(f"analyzers disagree on units: {sorted(units)}; convert them first")
+        time_unit = units.pop() if analyzers else "frame"
+        dist_unit = {"frame": "px", "sec": "μm"}[time_unit]
+        return cls(
+            [a.data for a in analyzers],
+            plot_height=plot_height,
+            palette=palette,
+            units=(time_unit, dist_unit),
+        )
 
     def _unit_labels(self) -> tuple[str, str]:
-        """Infer (time, distance) unit names from the data scale."""
-        # analyzed logs in seconds have fractional time steps
-        time = self.data["time"]
-        if len(time) >= 2 and not np.allclose(time.diff().dropna() % 1, 0):
-            return "sec", "μm"
-        return "frame", "px"
+        """(time, distance) unit names: explicit if given, else detected."""
+        if self.units is not None:
+            return self.units
+        head = self.data.iloc[:5]
+        if np.array_equal(head["frame"].round(3), head["time"].round(3)):
+            return "frame", "px"
+        return "sec", "μm"
 
     # -- domain plots ------------------------------------------------------
 

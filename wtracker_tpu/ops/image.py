@@ -67,11 +67,15 @@ def letterbox(
     Returns normalized (B, h, w, 3) f32 in [0, 1] plus the (scale, pad_top,
     pad_left) geometry for mapping boxes back.  Gray inputs broadcast to 3
     channels (the reference converts gray→BGR before YOLO).
+
+    Two fusion tricks keep the hot path lean: the 1/255 normalization is
+    folded into the row interpolation matrix (no separate full-plane multiply),
+    and grayscale inputs are resized as ONE channel and broadcast to 3 only
+    after padding (3× less resize work — the channels are identical anyway).
     """
-    if frames.ndim == 3:
-        frames = frames[..., None]
-    if frames.shape[-1] == 1:
-        frames = jnp.broadcast_to(frames, (*frames.shape[:-1], 3))
+    gray = frames.ndim == 3 or frames.shape[-1] == 1
+    if frames.ndim == 4 and frames.shape[-1] == 1:
+        frames = frames[..., 0]
 
     sh, sw = frames.shape[1:3]
     dh, dw = imgsz
@@ -79,14 +83,20 @@ def letterbox(
     new_h, new_w = round(sh * scale), round(sw * scale)
     pad_top = (dh - new_h) // 2
     pad_left = (dw - new_w) // 2
+    pad_hw = ((0, 0), (pad_top, dh - new_h - pad_top), (pad_left, dw - new_w - pad_left))
 
-    x = frames.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
-    x = resize_bilinear(x, (new_h, new_w))
-    x = jnp.pad(
-        x,
-        ((0, 0), (pad_top, dh - new_h - pad_top), (pad_left, dw - new_w - pad_left), (0, 0)),
-        constant_values=pad_value,
-    )
+    a_h = jnp.asarray(_interp_matrix(sh, new_h) * np.float32(1.0 / 255.0))
+    a_w = jnp.asarray(_interp_matrix(sw, new_w))
+
+    if gray:
+        y = jnp.einsum("oh,bhw->bow", a_h, frames.astype(jnp.float32))
+        y = jnp.einsum("pw,bow->bop", a_w, y)
+        y = jnp.pad(y, pad_hw, constant_values=pad_value)
+        x = jnp.broadcast_to(y[..., None], (*y.shape, 3))
+    else:
+        y = jnp.einsum("oh,bhwc->bowc", a_h, frames.astype(jnp.float32))
+        y = jnp.einsum("pw,bowc->bopc", a_w, y)
+        x = jnp.pad(y, (*pad_hw, (0, 0)), constant_values=pad_value)
     return x, (scale, pad_top, pad_left)
 
 

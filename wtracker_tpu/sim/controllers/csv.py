@@ -7,8 +7,10 @@ Polyfit/MLP/Optimal controllers.
 
 Invariants preserved:
 * out-of-range frame queries yield NaN bboxes (csv_controller.py:32-34);
-* ``relative=True`` subtracts the camera bbox recorded at the same cycle step
-  (valid because the platform is stationary during imaging);
+* ``relative=True`` shifts coordinates by the camera top-left held in the
+  per-cycle deque at slot ``frame % cycle_frame_num`` — note this deque is
+  *not* frame-aligned mid-cycle (the engine twin reproduces the exact same
+  indexing, see ``engine.py`` ``_decision_cam_topleft``);
 * an unavailable prediction yields a (0, 0) move (csv_controller.py:58-59).
 """
 
@@ -33,8 +35,11 @@ class CsvController(SimController):
     def __init__(self, timing_config: TimingConfig, csv_path: str):
         super().__init__(timing_config)
         self.csv_path = csv_path
-        self._csv_data = pd.read_csv(csv_path, usecols=WORM_COLS)[WORM_COLS].to_numpy(dtype=float)
+        table = pd.read_csv(csv_path, usecols=WORM_COLS)
+        self._csv_data = np.column_stack([table[c].to_numpy(dtype=float) for c in WORM_COLS])
         self._camera_bboxes: deque = deque(maxlen=timing_config.cycle_frame_num)
+
+    # -- hook wiring ---------------------------------------------------------
 
     def on_sim_start(self, sim: Simulator) -> None:
         self._camera_bboxes.clear()
@@ -42,44 +47,45 @@ class CsvController(SimController):
     def on_camera_frame(self, sim: Simulator) -> None:
         self._camera_bboxes.append(sim.view.camera_position)
 
+    def begin_movement_prediction(self, sim: Simulator) -> None:
+        pass
+
+    # -- prediction ------------------------------------------------------------
+
+    def _camera_origin(self, frame_nums: np.ndarray) -> np.ndarray:
+        """Camera top-left (x, y) per queried frame, via the cycle-slot deque."""
+        slot = self.timing_config.cycle_frame_num
+        rows = [self._camera_bboxes[int(n) % slot] for n in frame_nums]
+        return np.asarray(rows, dtype=float)[:, :2]
+
     def predict(self, frame_nums: Collection[int], relative: bool = True) -> np.ndarray:
         """Worm bboxes for ``frame_nums``; NaN rows for out-of-range frames.
 
         With ``relative=True`` coordinates are shifted into the camera view of
-        the matching cycle step (only valid for frames within the last cycle).
+        the matching cycle slot (only valid for frames within the last cycle).
         """
         assert len(frame_nums) > 0
-        frame_nums = np.asarray(frame_nums, dtype=int)
+        frames = np.asarray(frame_nums, dtype=int)
 
-        valid = (frame_nums >= 0) & (frame_nums < self._csv_data.shape[0])
-        worm_bboxes = np.full((frame_nums.shape[0], 4), np.nan)
-        worm_bboxes[valid] = self._csv_data[frame_nums[valid], :]
+        # Out-of-range gathers are redirected to row 0 then masked to NaN.
+        inbounds = (frames >= 0) & (frames < len(self._csv_data))
+        gathered = self._csv_data[np.where(inbounds, frames, 0)]
+        boxes = np.where(inbounds[:, None], gathered, np.nan)
 
-        if not relative:
-            return worm_bboxes
-
-        cycle_len = self.timing_config.cycle_frame_num
-        cam_bboxes = np.asarray(
-            [self._camera_bboxes[n % cycle_len] for n in frame_nums], dtype=float
-        )
-        worm_bboxes[:, 0] -= cam_bboxes[:, 0]
-        worm_bboxes[:, 1] -= cam_bboxes[:, 1]
-        return worm_bboxes
-
-    def begin_movement_prediction(self, sim: Simulator) -> None:
-        pass
+        if relative:
+            boxes[:, :2] -= self._camera_origin(frames)
+        return boxes
 
     def provide_movement_vector(self, sim: Simulator) -> tuple[int, int]:
-        bbox = self.predict([sim.frame_number - self.timing_config.pred_frame_num])[0]
+        decision_frame = sim.frame_number - self.timing_config.pred_frame_num
+        (bbox,) = self.predict([decision_frame])
         if not np.isfinite(bbox).all():
             return 0, 0
-
-        cx, cy = bb.center(bbox)
-        cam_w, cam_h = sim.view.camera_size
-        return round(cx - cam_w / 2), round(cy - cam_h / 2)
+        offset = bb.center(bbox) - np.asarray(sim.view.camera_size, dtype=float) / 2
+        return round(offset[0]), round(offset[1])
 
     def _cycle_predict_all(self, sim: Simulator) -> np.ndarray:
         cycle_len = self.timing_config.cycle_frame_num
-        start = (sim.cycle_number - 1) * cycle_len
-        end = min(start + cycle_len, len(self._csv_data))
-        return self.predict(np.arange(start, end))
+        first = (sim.cycle_number - 1) * cycle_len
+        frames = np.arange(first, min(first + cycle_len, len(self._csv_data)))
+        return self.predict(frames)

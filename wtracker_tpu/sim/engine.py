@@ -137,12 +137,19 @@ class CycleController(NamedTuple):
                       program constants and the compiled runner can be cached
                       and reused across calls (see docs/performance.md).
                       Shared across streams (vmap broadcasts it).
+    ``cache_key``   — hashable identity of the *traced program* (controller
+                      family + any static config baked into the closures).
+                      Factories set it so repeated factory calls — new closure
+                      objects — share one compiled runner instead of forcing a
+                      retrace per instance (VERDICT round-1 item 6). ``None``
+                      falls back to keying on the function objects.
     """
 
     init: Callable[[], Any]
     decide: Callable[[Any, Any, DecideCtx], tuple[Any, jnp.ndarray]]
     predict_all: Callable[[Any, Any, jnp.ndarray, jnp.ndarray], jnp.ndarray]
     consts: Any = ()
+    cache_key: Any = None
 
 
 class CycleLog(NamedTuple):
@@ -222,7 +229,9 @@ _RUNNER_CACHE: dict = {}
 
 
 def _controller_key(controller: CycleController) -> tuple:
-    return (controller.init, controller.decide, controller.predict_all)
+    if controller.cache_key is not None:
+        return ("by-key", controller.cache_key)
+    return ("by-id", controller.init, controller.decide, controller.predict_all)
 
 
 def _single_runner(params: EngineParams, controller: CycleController):
@@ -306,17 +315,18 @@ def run_engine(
     return (logs, final_carry) if return_carry else logs
 
 
-def make_batched_cycle_step(params: EngineParams, controller: CycleController):
-    """Scan body where the *controller* owns the stream axis.
+def _has_stream_bounds(controller: CycleController) -> bool:
+    """Heterogeneous-geometry sweeps put per-stream (w, h) clamp bounds into
+    ``consts["stream_bounds"]`` — each stream then clamps to its own arena."""
+    return isinstance(controller.consts, dict) and "stream_bounds" in controller.consts
 
-    ``decide``/``predict_all`` receive stacked (S, ...) inputs and return
-    stacked outputs, letting them form flat S·frames device batches (bigger
-    matmuls than vmap-of-streams produces).  The motor/clamp machinery is
-    vmapped around them.
-    """
+
+def _make_stream_motor(params: EngineParams):
+    """Per-stream motor: residual-carrying integer rounding with a per-stream
+    (w, h) clamp bound. Vmapped over (pos, dxdy, bound)."""
     weights = np.asarray(params.motor_weights, dtype=np.float64)
 
-    def motor(pos, dxdy):
+    def motor(pos, dxdy, bound):
         d = dxdy.astype(jnp.float64)
         resid = jnp.zeros_like(d)
         moving_positions = []
@@ -326,20 +336,38 @@ def make_batched_cycle_step(params: EngineParams, controller: CycleController):
             raw = w * d + resid
             s = jnp.round(raw)
             resid = raw - s
-            p = _clamp(p + s.astype(pos.dtype), params)
+            p = jnp.clip(p + s.astype(pos.dtype), 0, bound - 1)
         positions = jnp.concatenate(
             [jnp.broadcast_to(pos, (params.imaging_n, 2)), jnp.stack(moving_positions, axis=0)],
             axis=0,
         )
         return p, positions
 
-    motor_v = jax.vmap(motor)
+    return jax.vmap(motor)
+
+
+def _stream_bounds_of(params: EngineParams, controller: CycleController, consts, pos):
+    if _has_stream_bounds(controller):
+        return consts["stream_bounds"]
+    common = jnp.array([params.frame_w, params.frame_h], dtype=pos.dtype)
+    return jnp.broadcast_to(common, pos.shape)
+
+
+def make_batched_cycle_step(params: EngineParams, controller: CycleController):
+    """Scan body where the *controller* owns the stream axis.
+
+    ``decide``/``predict_all`` receive stacked (S, ...) inputs and return
+    stacked outputs, letting them form flat S·frames device batches (bigger
+    matmuls than vmap-of-streams produces).  The motor/clamp machinery is
+    vmapped around them.
+    """
+    motor_v = _make_stream_motor(params)
 
     def cycle_step(consts, carry, cycle_idx):
         pos, prev_positions, state = carry
         ctx = DecideCtx(cycle=cycle_idx, position=pos, prev_positions=prev_positions)
         state, dxdy = controller.decide(consts, state, ctx)
-        p, positions = motor_v(pos, dxdy)
+        p, positions = motor_v(pos, dxdy, _stream_bounds_of(params, controller, consts, pos))
         worm_bboxes = controller.predict_all(consts, state, cycle_idx, positions)
         return (p, positions, state), CycleLog(positions=positions, worm_bboxes=worm_bboxes)
 
@@ -356,33 +384,14 @@ def make_delayed_cycle_step(params: EngineParams, controller: CycleController):
     emits them with the previous cycle's positions.  The runner scans one
     extra cycle and drops the first (garbage, cycle −1) output row.
     """
-    weights = np.asarray(params.motor_weights, dtype=np.float64)
-
-    def motor(pos, dxdy):
-        d = dxdy.astype(jnp.float64)
-        resid = jnp.zeros_like(d)
-        moving_positions = []
-        p = pos
-        for w in weights:
-            moving_positions.append(p)
-            raw = w * d + resid
-            s = jnp.round(raw)
-            resid = raw - s
-            p = _clamp(p + s.astype(pos.dtype), params)
-        positions = jnp.concatenate(
-            [jnp.broadcast_to(pos, (params.imaging_n, 2)), jnp.stack(moving_positions, axis=0)],
-            axis=0,
-        )
-        return p, positions
-
-    motor_v = jax.vmap(motor)
+    motor_v = _make_stream_motor(params)
 
     def cycle_step(consts, carry, cycle_idx):
         pos, prev_positions, state = carry
         ctx = DecideCtx(cycle=cycle_idx, position=pos, prev_positions=prev_positions)
         state, dxdy = controller.decide(consts, state, ctx)
         prev_rows = controller.predict_all(consts, state, cycle_idx, prev_positions)
-        p, positions = motor_v(pos, dxdy)
+        p, positions = motor_v(pos, dxdy, _stream_bounds_of(params, controller, consts, pos))
         log = CycleLog(positions=prev_positions, worm_bboxes=prev_rows)
         return (p, positions, state), log
 
@@ -410,7 +419,11 @@ def run_engine_streams(
 
     run = _stream_runner(params, controller, batched_controller, delayed_log)
 
-    pos0 = _clamp(jnp.asarray(init_positions, dtype=jnp.int32), params)
+    init = jnp.asarray(init_positions, dtype=jnp.int32)
+    if _has_stream_bounds(controller):
+        pos0 = jnp.clip(init, 0, jnp.asarray(controller.consts["stream_bounds"], jnp.int32) - 1)
+    else:
+        pos0 = _clamp(init, params)
     s = pos0.shape[0]
     prev0 = jnp.broadcast_to(pos0[:, None, :], (s, params.cycle_n, 2)).astype(jnp.int32)
     carry0 = (pos0, prev0, controller.init())
@@ -428,13 +441,23 @@ def run_engine_streams(
 # ---------------------------------------------------------------------------
 
 
-def logs_to_frame(params: EngineParams, logs: CycleLog) -> "pd.DataFrame":
+def logs_to_frame(
+    params: EngineParams,
+    logs: CycleLog,
+    cam_size: tuple[int, int] | None = None,
+    mic_size: tuple[int, int] | None = None,
+) -> "pd.DataFrame":
     """Flatten engine logs into the 17-column bboxes.csv schema.
 
     Applies the reference's missing-detection quirk: non-finite worm bboxes are
-    written as 0.0 (see LoggingController._log_cycle).
+    written as 0.0 (see LoggingController._log_cycle).  ``cam_size``/``mic_size``
+    override the params' view sizes — heterogeneous sweeps pass each stream's
+    own (w, h).
     """
     import pandas as pd
+
+    cam_w, cam_h = cam_size if cam_size is not None else (params.cam_w, params.cam_h)
+    mic_w, mic_h = mic_size if mic_size is not None else (params.mic_w, params.mic_h)
 
     n_cycles, L, _ = np.asarray(logs.positions).shape
     pos = np.asarray(logs.positions).reshape(n_cycles * L, 2)
@@ -445,11 +468,6 @@ def logs_to_frame(params: EngineParams, logs: CycleLog) -> "pd.DataFrame":
     cycle = frame // L
     step = frame % L
 
-    cam_x = pos[:, 0] - params.cam_w // 2
-    cam_y = pos[:, 1] - params.cam_h // 2
-    mic_x = pos[:, 0] - params.mic_w // 2
-    mic_y = pos[:, 1] - params.mic_h // 2
-
     return pd.DataFrame(
         {
             "frame": frame,
@@ -457,14 +475,14 @@ def logs_to_frame(params: EngineParams, logs: CycleLog) -> "pd.DataFrame":
             "phase": np.where(step < params.imaging_n, "imaging", "moving"),
             "plt_x": pos[:, 0],
             "plt_y": pos[:, 1],
-            "cam_x": cam_x,
-            "cam_y": cam_y,
-            "cam_w": params.cam_w,
-            "cam_h": params.cam_h,
-            "mic_x": mic_x,
-            "mic_y": mic_y,
-            "mic_w": params.mic_w,
-            "mic_h": params.mic_h,
+            "cam_x": pos[:, 0] - cam_w // 2,
+            "cam_y": pos[:, 1] - cam_h // 2,
+            "cam_w": cam_w,
+            "cam_h": cam_h,
+            "mic_x": pos[:, 0] - mic_w // 2,
+            "mic_y": pos[:, 1] - mic_h // 2,
+            "mic_w": mic_w,
+            "mic_h": mic_h,
             "wrm_x": wrm[:, 0],
             "wrm_y": wrm[:, 1],
             "wrm_w": wrm[:, 2],
@@ -552,6 +570,7 @@ def csv_controller(csv_data: np.ndarray, params: EngineParams) -> CycleControlle
         decide=decide,
         predict_all=_csv_predict_all(params),
         consts=consts,
+        cache_key=("csv",),
     )
 
 
@@ -581,6 +600,7 @@ def optimal_controller(csv_data: np.ndarray, params: EngineParams) -> CycleContr
         decide=decide,
         predict_all=_csv_predict_all(params),
         consts=consts,
+        cache_key=("optimal",),
     )
 
 
@@ -596,12 +616,17 @@ def polyfit_controller(
     Invalid samples are excluded with zero fit weights (shape-stable under
     jit); the fit runs through the TPU-safe eigh-based lstsq.
     """
-    consts = {"csv": jnp.asarray(csv_data, dtype=jnp.float64)}
-    times = jnp.asarray(np.sort(sample_times), dtype=jnp.float64)
-    base_w = jnp.asarray(fit_weights, dtype=jnp.float64)
+    consts = {
+        "csv": jnp.asarray(csv_data, dtype=jnp.float64),
+        # runtime args, not traced constants — different sample grids/weights
+        # (e.g. successive PSO candidates) reuse one compiled runner
+        "times": jnp.asarray(np.sort(sample_times), dtype=jnp.float64),
+        "fit_w": jnp.asarray(fit_weights, dtype=jnp.float64),
+    }
     x_eval = float(params.cycle_n + params.imaging_n // 2)
 
     def decide(consts, state, ctx: DecideCtx):
+        times, base_w = consts["times"], consts["fit_w"]
         idx = ctx.cycle * params.cycle_n + times.astype(jnp.int32)
         bboxes = _gather_rows(consts["csv"], idx)  # (k, 4) absolute
 
@@ -628,6 +653,7 @@ def polyfit_controller(
         decide=decide,
         predict_all=_csv_predict_all(params),
         consts=consts,
+        cache_key=("polyfit", degree),
     )
 
 
@@ -645,13 +671,17 @@ def mlp_controller(
             offset), mirroring mlp_controllers.py:32-34.
     """
     io = predictor.io_config
-    input_frames = jnp.asarray(io.input_frames, dtype=jnp.int32)
     model = predictor.model
-    consts = {"csv": jnp.asarray(csv_data, dtype=jnp.float64), "mlp": predictor.variables}
+    consts = {
+        "csv": jnp.asarray(csv_data, dtype=jnp.float64),
+        "mlp": predictor.variables,
+        "input_frames": jnp.asarray(io.input_frames, dtype=jnp.int32),
+        "max_speed": jnp.float32(max_speed_px_frame_total),
+    }
 
     def decide(consts, state, ctx: DecideCtx):
         f = ctx.cycle * params.cycle_n + params.imaging_n
-        idx = (f - params.pred_n) + input_frames
+        idx = (f - params.pred_n) + consts["input_frames"]
         bboxes = _gather_rows(consts["csv"], idx)  # (k, 4) absolute
 
         cam_center = jnp.array(
@@ -669,7 +699,7 @@ def mlp_controller(
 
         pred = model.apply(consts["mlp"], feats.astype(jnp.float32), train=False)
         # clip in f32 (host clips the f32 model output before widening)
-        pred = jnp.clip(pred.reshape(-1), -max_speed_px_frame_total, max_speed_px_frame_total)
+        pred = jnp.clip(pred.reshape(-1), -consts["max_speed"], consts["max_speed"])
         pred = pred.astype(jnp.float64)
 
         target = pred[:2] + rel
@@ -681,6 +711,9 @@ def mlp_controller(
         decide=decide,
         predict_all=_csv_predict_all(params),
         consts=consts,
+        # repr captures the full static architecture; apply() is pure given
+        # the variables, so equal-architecture predictors share the runner
+        cache_key=("mlp", repr(model), tuple(io.input_frames)),
     )
 
 
@@ -697,7 +730,6 @@ def csv_controller_streams(csv_data: np.ndarray, params: EngineParams) -> CycleC
     serially, one notebook execution per experiment).
     """
     consts = {"csv": jnp.asarray(csv_data, dtype=jnp.float64)}
-    s = csv_data.shape[0]
 
     def gather(csv, idx):
         n = csv.shape[1]
@@ -724,4 +756,6 @@ def csv_controller_streams(csv_data: np.ndarray, params: EngineParams) -> CycleC
         rel = jax.lax.optimization_barrier(rows[..., :2] - cam_tl)
         return jnp.concatenate([rel + cam_tl, rows[..., 2:]], axis=-1)
 
-    return CycleController(init=lambda: (), decide=decide, predict_all=predict_all, consts=consts)
+    return CycleController(
+        init=lambda: (), decide=decide, predict_all=predict_all, consts=consts, cache_key=("csv_streams",)
+    )

@@ -149,7 +149,13 @@ def hybrid_yolo_mlp_controller(
             moving = detect_views(consts, worm_xy, cam_tls, idx).astype(jnp.float64)
         return jnp.concatenate([imaging, moving], axis=0)
 
-    return CycleController(init=init, decide=decide, predict_all=predict_all, consts=consts)
+    return CycleController(
+        init=init,
+        decide=decide,
+        predict_all=predict_all,
+        consts=consts,
+        cache_key=("live", config, scene, repr(detector_model), repr(mlp_model), tuple(io.input_frames)),
+    )
 
 
 def make_stream_batch(
@@ -181,7 +187,11 @@ def make_stream_batch(
         }
 
     return CycleController(
-        init=init, decide=base.decide, predict_all=base.predict_all, consts=base.consts
+        init=init,
+        decide=base.decide,
+        predict_all=base.predict_all,
+        consts=base.consts,
+        cache_key=("live-streams",) + base.cache_key[1:],
     )
 
 
@@ -287,7 +297,14 @@ def make_stream_batch_flat(
             moving = detect_flat(consts, worm_xy, cam_tls, fidx).reshape(S, MV, 4).astype(jnp.float64)
         return jnp.concatenate([imaging, moving], axis=1)
 
-    return CycleController(init=init, decide=decide, predict_all=predict_all, consts=consts)
+    return CycleController(
+        init=init,
+        decide=decide,
+        predict_all=predict_all,
+        consts=consts,
+        # S is baked into the traced reshapes — it must key the runner
+        cache_key=("live-flat", S, config, scene, repr(detector_model), repr(mlp_model), tuple(io.input_frames)),
+    )
 
 
 def make_stream_batch_fused(
@@ -405,4 +422,10 @@ def make_stream_batch_fused(
     def predict_all(consts, state, cycle_idx, prev_positions):
         return state["log_rows"].astype(jnp.float64)
 
-    return CycleController(init=init, decide=decide, predict_all=predict_all, consts=consts)
+    return CycleController(
+        init=init,
+        decide=decide,
+        predict_all=predict_all,
+        consts=consts,
+        cache_key=("live-fused", S, config, scene, repr(detector_model), repr(mlp_model), tuple(io.input_frames)),
+    )

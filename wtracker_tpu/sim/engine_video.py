@@ -158,7 +158,14 @@ def video_live_controller(
             moving = crop_and_detect(consts, idx, cam_tls).astype(jnp.float64)
         return jnp.concatenate([imaging, moving], axis=0)
 
-    return CycleController(init=init, decide=decide, predict_all=predict_all, consts=consts)
+    return CycleController(
+        init=init,
+        decide=decide,
+        predict_all=predict_all,
+        consts=consts,
+        # chunk_shape is baked into the crop indexing — part of the program
+        cache_key=("video", tuple(chunk_shape), config, repr(detector_model), repr(mlp_model), tuple(io.input_frames)),
+    )
 
 
 def run_video_live(

@@ -18,13 +18,18 @@ This host implementation preserves the exact per-frame hook schedule
   ``provide_movement_vector``, ``on_movement_start``, motor registration;
 * moving phase: one motor step per frame applied to the view position.
 
-The TPU-native counterpart — the cycle-level ``lax.scan`` engine producing
-identical logs — lives in :mod:`wtracker_tpu.sim.engine`.
+Architecturally this differs from the reference's inline-conditional loop: the
+schedule above is *data*, compiled once into a per-cycle-step event table
+(:meth:`Simulator._compile_schedule`), and ``run()`` is a plain dispatcher over
+that table. The same static-schedule view of the cycle is what lets the
+TPU-native counterpart — the cycle-level ``lax.scan`` engine in
+:mod:`wtracker_tpu.sim.engine` — produce identical logs.
 """
 
 from __future__ import annotations
 
 import abc
+from typing import Callable
 
 import numpy as np
 from tqdm.auto import tqdm
@@ -58,20 +63,23 @@ class Simulator:
         self.timing_config = timing_config
         self.experiment_config = experiment_config
         self._sim_controller = sim_controller
-
-        if reader is None:
-            padding = (timing_config.camera_size_px[0] // 2 * 2, timing_config.camera_size_px[1] // 2 * 2)
-            resolution = tuple(o + p for o, p in zip(experiment_config.orig_resolution, padding))
-            reader = DummyReader(experiment_config.num_frames, resolution, colored=True)
-
-        self._motor_controller = motor_controller if motor_controller is not None else SineMotorController(timing_config)
-
+        self._motor = motor_controller or SineMotorController(timing_config)
         self._view = ViewController(
-            frame_reader=reader,
+            frame_reader=reader if reader is not None else self._headless_reader(),
             camera_size=timing_config.camera_size_px,
             micro_size=timing_config.micro_size_px,
             init_position=experiment_config.init_position,
         )
+        self._schedule = self._compile_schedule()
+
+    def _headless_reader(self) -> DummyReader:
+        """White constant frames at the world (camera-padded) resolution."""
+        cam_w, cam_h = self.timing_config.camera_size_px
+        orig_w, orig_h = self.experiment_config.orig_resolution
+        world = (orig_w + cam_w // 2 * 2, orig_h + cam_h // 2 * 2)
+        return DummyReader(self.experiment_config.num_frames, world, colored=True)
+
+    # -- observable state ----------------------------------------------------
 
     @property
     def view(self) -> ViewController:
@@ -83,12 +91,12 @@ class Simulator:
         return self._view.position
 
     @property
-    def cycle_number(self) -> int:
-        return self._view.index // self.timing_config.cycle_frame_num
-
-    @property
     def frame_number(self) -> int:
         return self._view.index
+
+    @property
+    def cycle_number(self) -> int:
+        return self._view.index // self.timing_config.cycle_frame_num
 
     @property
     def cycle_step(self) -> int:
@@ -101,54 +109,82 @@ class Simulator:
     def micro_view(self) -> np.ndarray:
         return self._view.micro_view()
 
-    def _reset(self) -> None:
-        self.view.reset()
-        self.view.set_position(*self.experiment_config.init_position)
+    # -- the cycle schedule, compiled to an event table -----------------------
+
+    def _compile_schedule(self) -> tuple[tuple[Callable, ...], ...]:
+        """Build the per-cycle-step event table.
+
+        Entry ``k`` is the ordered tuple of zero-arg callables to fire on a
+        frame whose cycle_step is ``k``. The table encodes the reference's
+        frame schedule exactly (simulator.py:157-187); because the cycle
+        length is fixed, the schedule is static and computable up front.
+        """
+        t = self.timing_config
+        ctl = self._sim_controller
+        hook = lambda fn: (lambda: fn(self))  # bind the sim argument
+
+        table: list[tuple[Callable, ...]] = []
+        for k in range(t.cycle_frame_num):
+            events: list[Callable] = []
+            if k == 0:
+                events.append(self._wrap_cycle)
+            events.append(hook(ctl.on_camera_frame))
+            if k == 0:
+                events.append(hook(ctl.on_imaging_start))
+            if k < t.imaging_frame_num:
+                events.append(hook(ctl.on_micro_frame))
+            if k == t.imaging_frame_num - t.pred_frame_num:
+                events.append(hook(ctl.begin_movement_prediction))
+            if k == t.imaging_frame_num:
+                events.append(hook(ctl.on_imaging_end))
+                events.append(self._decide_move)
+            if t.imaging_frame_num <= k < t.imaging_frame_num + t.moving_frame_num:
+                events.append(self._step_platform)
+            table.append(tuple(events))
+        return tuple(table)
+
+    def _wrap_cycle(self) -> None:
+        """Close the previous cycle (if any) and open the next one."""
+        if self.cycle_number > 0:
+            self._sim_controller.on_movement_end(self)
+            self._sim_controller.on_cycle_end(self)
+        self._sim_controller.on_cycle_start(self)
+
+    def _decide_move(self) -> None:
+        """The decision point: query the controller, arm the motor."""
+        dx, dy = self._sim_controller.provide_movement_vector(self)
+        self._sim_controller.on_movement_start(self)
+        self._motor.register_move(dx, dy)
+
+    def _step_platform(self) -> None:
+        """One moving-phase frame: advance the platform by the motor's step."""
+        self._view.move_position(*self._motor.step())
+
+    # -- main loop -------------------------------------------------------------
 
     def run(self, visualize: bool = False, wait_key: bool = False, progress: bool = True) -> None:
         """Run the full simulation (all frames of the experiment)."""
-        config = self.timing_config
+        cycle_n = self.timing_config.cycle_frame_num
+        last_step = cycle_n - 1
 
-        total_cycles = len(self._view) // config.cycle_frame_num
-        pbar = tqdm(total=total_cycles, desc="Simulation Progress", unit="cycle", disable=not progress)
+        self._view.reset()
+        self._view.set_position(*self.experiment_config.init_position)
 
-        self._reset()
+        pbar = tqdm(
+            total=len(self._view) // cycle_n,
+            desc="Simulation Progress",
+            unit="cycle",
+            disable=not progress,
+        )
         self._sim_controller.on_sim_start(self)
-
         while self._view.progress():
-            if self.cycle_step == 0:
-                if self.cycle_number > 0:
-                    self._sim_controller.on_movement_end(self)
-                    self._sim_controller.on_cycle_end(self)
-                self._sim_controller.on_cycle_start(self)
-
-            self._sim_controller.on_camera_frame(self)
-
-            if self.cycle_step == 0:
-                self._sim_controller.on_imaging_start(self)
-
-            if self.cycle_step < config.imaging_frame_num:
-                self._sim_controller.on_micro_frame(self)
-
-            if self.cycle_step == config.imaging_frame_num - config.pred_frame_num:
-                self._sim_controller.begin_movement_prediction(self)
-
-            if self.cycle_step == config.imaging_frame_num:
-                self._sim_controller.on_imaging_end(self)
-                dx, dy = self._sim_controller.provide_movement_vector(self)
-                self._sim_controller.on_movement_start(self)
-                self._motor_controller.register_move(dx, dy)
-
-            if config.imaging_frame_num <= self.cycle_step < config.imaging_frame_num + config.moving_frame_num:
-                dx, dy = self._motor_controller.step()
-                self._view.move_position(dx, dy)
-
-            if self.cycle_step == config.cycle_frame_num - 1:
+            step = self.cycle_step
+            for event in self._schedule[step]:
+                event()
+            if step == last_step:
                 pbar.update(1)
-
             if visualize:
                 self._view.visualize_world(timeout=0 if wait_key else 1)
-
         self._sim_controller.on_sim_end(self)
         pbar.close()
 

@@ -42,13 +42,44 @@ def make_trajectory(
 
 @dataclass(frozen=True)
 class SyntheticScene:
-    """Parametric scene: background texture + worm appearance."""
+    """Parametric scene: background texture + worm appearance.
+
+    The renderer is transcendental-budgeted for the live loop (it runs for
+    every frame of every stream): the background texture is fully separable —
+    the mixed-frequency term expands via sin(a+b) = sin·cos + cos·sin — so
+    per view only O(h+w) sin/cos evaluate; and the worm Gaussian evaluates on
+    a ``worm_window``² patch around the worm (beyond ~5σ it is zero at f32),
+    not the full plane.  The round-1 full-plane renderer was the largest
+    elementwise share of the cycle (docs/performance.md).
+    """
 
     worm_sigma_x: float = 5.0
     worm_sigma_y: float = 3.0
     worm_intensity: float = 160.0
     bg_level: float = 40.0
     texture_amp: float = 10.0
+    worm_window: int = 64
+    """Static side of the patch the worm blob is evaluated on (≥ ~10σ)."""
+
+    def _texture(self, xs: jnp.ndarray, ys: jnp.ndarray) -> jnp.ndarray:
+        """Separable agar texture over absolute coords (stable under camera
+        motion). ``xs``/``ys`` are broadcastable row/column coordinate arrays."""
+        cross = jnp.sin(xs * 0.013) * jnp.cos(ys * 0.017) + jnp.cos(xs * 0.013) * jnp.sin(ys * 0.017)
+        tex = jnp.sin(xs * 0.07) * jnp.cos(ys * 0.05) + 0.5 * cross
+        return self.bg_level + self.texture_amp * tex
+
+    def _worm_blob(self, dx: jnp.ndarray, dy: jnp.ndarray, frame_idx) -> jnp.ndarray:
+        """Anisotropic Gaussian at offset (dx, dy) from the worm center."""
+        t = jnp.asarray(frame_idx, dtype=jnp.float32)
+        angle = 0.35 * jnp.sin(0.13 * t)
+        ca, sa = jnp.cos(angle), jnp.sin(angle)
+        # reciprocal sigmas as compile-time multiplies (divides are expensive
+        # per-pixel on the VPU)
+        inv_sx = jnp.float32(1.0 / self.worm_sigma_x)
+        inv_sy = jnp.float32(1.0 / self.worm_sigma_y)
+        u = (ca * dx + sa * dy) * inv_sx
+        v = (-sa * dx + ca * dy) * inv_sy
+        return self.worm_intensity * jnp.exp(-0.5 * (u * u + v * v))
 
     def render_view(
         self,
@@ -68,28 +99,24 @@ class SyntheticScene:
         h, w = view_hw
         ys = jnp.arange(h, dtype=jnp.float32)[:, None] + cam_tl[1]
         xs = jnp.arange(w, dtype=jnp.float32)[None, :] + cam_tl[0]
+        bg = jnp.broadcast_to(self._texture(xs, ys), (h, w))
 
-        # agar-like low-frequency texture (absolute coords -> stable as the
-        # camera moves)
-        tex = (
-            jnp.sin(xs * 0.07) * jnp.cos(ys * 0.05)
-            + 0.5 * jnp.sin(xs * 0.013 + ys * 0.017)
-        )
-        bg = self.bg_level + self.texture_amp * tex
+        win = min(self.worm_window, h, w)
+        # patch top-left in view coords, clamped inside the view; the Gaussian
+        # is ≤1e-9·intensity beyond the patch, invisible at image scale
+        wx = worm_xy[0] - cam_tl[0].astype(jnp.float32)
+        wy = worm_xy[1] - cam_tl[1].astype(jnp.float32)
+        tx = jnp.clip(jnp.round(wx).astype(jnp.int32) - win // 2, 0, w - win)
+        ty = jnp.clip(jnp.round(wy).astype(jnp.int32) - win // 2, 0, h - win)
 
-        t = jnp.asarray(frame_idx, dtype=jnp.float32)
-        angle = 0.35 * jnp.sin(0.13 * t)
-        ca, sa = jnp.cos(angle), jnp.sin(angle)
-        dx = xs - worm_xy[0]
-        dy = ys - worm_xy[1]
-        # reciprocal sigmas as compile-time multiplies (divides are expensive
-        # per-pixel on the VPU)
-        inv_sx = jnp.float32(1.0 / self.worm_sigma_x)
-        inv_sy = jnp.float32(1.0 / self.worm_sigma_y)
-        u = (ca * dx + sa * dy) * inv_sx
-        v = (-sa * dx + ca * dy) * inv_sy
-        worm = self.worm_intensity * jnp.exp(-0.5 * (u * u + v * v))
-        return jnp.clip(bg + worm, 0, 255)
+        pys = (jnp.arange(win, dtype=jnp.float32)[:, None] + ty.astype(jnp.float32)) - wy
+        pxs = (jnp.arange(win, dtype=jnp.float32)[None, :] + tx.astype(jnp.float32)) - wx
+        dy = jnp.broadcast_to(pys, (win, win))
+        dx = jnp.broadcast_to(pxs, (win, win))
+        patch = jax.lax.dynamic_slice(bg, (ty, tx), (win, win)) + self._worm_blob(dx, dy, frame_idx)
+
+        view = jax.lax.dynamic_update_slice(bg, patch, (ty, tx))
+        return jnp.clip(view, 0, 255)
 
     def render_views(
         self,

@@ -5,9 +5,10 @@ Capability parity with the reference ``wtracker/utils/frame_reader.py`` —
 (247-272, the no-video fake backend that lets the full simulator stack run
 without any data; auto-selected by the simulator in headless mode).
 
-TPU-minded addition: ``FrameReader.read_batch`` decodes many frames into one
+TPU-minded additions: ``FrameReader.read_batch`` decodes many frames into one
 contiguous ``(N, H, W[, C])`` array so callers can ship whole cycles (or whole
-experiments) to the device in a single transfer instead of per-frame hops.
+experiments) to the device in a single transfer instead of per-frame hops, and
+``ArrayReader`` wraps pre-decoded in-memory frames.
 """
 
 from __future__ import annotations
@@ -19,6 +20,12 @@ import cv2 as cv
 import numpy as np
 
 from wtracker_tpu.utils.path_utils import join_paths
+
+
+def _sorted_dir_files(root_folder: str, pattern: str) -> list[str]:
+    """Names under ``root_folder`` matching ``pattern``, files only, sorted."""
+    names = glob.glob(pattern, root_dir=root_folder)
+    return sorted(n for n in names if os.path.isfile(join_paths(root_folder, n)))
 
 
 class FrameReader:
@@ -44,30 +51,82 @@ class FrameReader:
         self._read_format = read_format
         self._frame_shape = self._extract_frame_shape()
 
-    def _extract_frame_shape(self) -> tuple[int, ...]:
-        frame = cv.imread(join_paths(self.root_folder, self.files[0]), self._read_format)
-        return frame.shape
+    # -- construction helpers ---------------------------------------------------
 
-    @staticmethod
+    @classmethod
     def create_from_template(
-        root_folder: str, name_format: str, read_format: int = cv.IMREAD_GRAYSCALE
+        cls, root_folder: str, name_format: str, read_format: int = cv.IMREAD_GRAYSCALE
     ) -> "FrameReader":
         """Build a reader from a ``name.format()``-style file template."""
-        fmt = name_format.format("[0-9]*")
-        paths = glob.glob(fmt, root_dir=root_folder)
-        paths = sorted(f for f in paths if os.path.isfile(join_paths(root_folder, f)))
-        return FrameReader(root_folder, paths, read_format)
+        names = _sorted_dir_files(root_folder, name_format.format("[0-9]*"))
+        return cls(root_folder, names, read_format)
 
-    @staticmethod
-    def create_from_directory(root_folder: str, read_format: int = cv.IMREAD_GRAYSCALE) -> "FrameReader":
+    @classmethod
+    def create_from_directory(cls, root_folder: str, read_format: int = cv.IMREAD_GRAYSCALE) -> "FrameReader":
         """Build a reader from every file in a directory (sorted by name)."""
-        paths = glob.glob("*.*", root_dir=root_folder)
-        paths = sorted(f for f in paths if os.path.isfile(join_paths(root_folder, f)))
-        return FrameReader(root_folder, paths, read_format)
+        return cls(root_folder, _sorted_dir_files(root_folder, "*.*"), read_format)
+
+    # -- decode ------------------------------------------------------------------
+
+    def _path_of(self, idx: int) -> str:
+        return join_paths(self._root_folder, self._files[idx])
+
+    def _extract_frame_shape(self) -> tuple[int, ...]:
+        # Overridable probe: synthetic readers report a shape without decoding.
+        return cv.imread(self._path_of(0), self._read_format).shape
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        if not 0 <= idx < len(self._files):
+            raise IndexError("index out of bounds")
+        return cv.imread(self._path_of(idx), self._read_format).astype(np.uint8, copy=False)
+
+    def read_batch(self, indices: np.ndarray | list[int] | None = None) -> np.ndarray:
+        """Decode many frames into one contiguous uint8 array ``(N, *frame_shape)``.
+
+        BMP sources decode through the native multithreaded loader
+        (:mod:`wtracker_tpu.runtime`) when available — one parallel decode
+        into the batch buffer instead of per-frame ``cv.imread`` calls.
+        """
+        picks = list(range(len(self))) if indices is None else [int(i) for i in indices]
+
+        fast = self._try_native_batch(picks)
+        if fast is not None:
+            return fast
+
+        out = np.empty((len(picks), *self._frame_shape), dtype=np.uint8)
+        for slot, idx in enumerate(picks):
+            out[slot] = self[idx]
+        return out
+
+    def _try_native_batch(self, indices: list[int]) -> np.ndarray | None:
+        if self._read_format not in (cv.IMREAD_GRAYSCALE, cv.IMREAD_COLOR):
+            return None
+        paths = [self._path_of(i) for i in indices]
+        if not paths or not all(p.lower().endswith(".bmp") for p in paths):
+            return None
+        try:
+            from wtracker_tpu.runtime import native
+
+            if not native.native_available():
+                return None
+            h, w = self._frame_shape[:2]
+            return native.load_batch_bmp(paths, h, w, gray=self._read_format == cv.IMREAD_GRAYSCALE)
+        except Exception:
+            return None  # any native hiccup falls back to the cv2 loop
+
+    # -- introspection --------------------------------------------------------------
 
     @property
     def root_folder(self) -> str:
         return self._root_folder
+
+    @property
+    def files(self) -> list[str]:
+        return self._files
+
+    @property
+    def read_format(self) -> int:
+        return self._read_format
 
     @property
     def frame_shape(self) -> tuple[int, ...]:
@@ -79,59 +138,10 @@ class FrameReader:
         """Spatial frame size ``(h, w)``."""
         return self._frame_shape[:2]
 
-    @property
-    def files(self) -> list[str]:
-        return self._files
-
-    @property
-    def read_format(self) -> int:
-        return self._read_format
-
     def __len__(self) -> int:
         return len(self._files)
 
-    def __getitem__(self, idx: int) -> np.ndarray:
-        if idx < 0 or idx >= len(self._files):
-            raise IndexError("index out of bounds")
-        frame = cv.imread(join_paths(self.root_folder, self.files[idx]), self._read_format)
-        return frame.astype(np.uint8, copy=False)
-
-    def read_batch(self, indices: np.ndarray | list[int] | None = None) -> np.ndarray:
-        """Decode many frames into one contiguous uint8 array ``(N, *frame_shape)``.
-
-        BMP sources decode through the native multithreaded loader
-        (:mod:`wtracker_tpu.runtime`) when available — one parallel decode
-        into the batch buffer instead of per-frame ``cv.imread`` calls.
-        """
-        if indices is None:
-            indices = range(len(self))
-        indices = [int(i) for i in indices]
-
-        native = self._try_native_batch(indices)
-        if native is not None:
-            return native
-
-        out = np.empty((len(indices), *self._frame_shape), dtype=np.uint8)
-        for i, idx in enumerate(indices):
-            out[i] = self[idx]
-        return out
-
-    def _try_native_batch(self, indices: list[int]) -> np.ndarray | None:
-        if self._read_format not in (cv.IMREAD_GRAYSCALE, cv.IMREAD_COLOR):
-            return None
-        gray = self._read_format == cv.IMREAD_GRAYSCALE
-        paths = [join_paths(self.root_folder, self._files[i]) for i in indices]
-        if not paths or not all(p.lower().endswith(".bmp") for p in paths):
-            return None
-        try:
-            from wtracker_tpu.runtime import native
-
-            if not native.native_available():
-                return None
-            h, w = self._frame_shape[:2]
-            return native.load_batch_bmp(paths, h, w, gray=gray)
-        except Exception:
-            return None  # any native hiccup falls back to the cv2 loop
+    # -- streaming ---------------------------------------------------------------------
 
     def __iter__(self) -> "FrameStream":
         return FrameStream(self)
@@ -145,7 +155,7 @@ class FrameStream:
     """A seekable iterator/cursor over a :class:`FrameReader`.
 
     The cursor starts *before* the first frame (index -1); ``progress()`` or
-    iteration advances it.  ``read()`` caches the current frame until the
+    iteration advances it.  ``read()`` memoizes the current frame until the
     cursor moves.
     """
 
@@ -166,8 +176,7 @@ class FrameStream:
         return self
 
     def __next__(self) -> np.ndarray:
-        self.progress()
-        if not self.can_read():
+        if not self.progress():
             raise StopIteration()
         return self.read()
 
@@ -180,17 +189,17 @@ class FrameStream:
         self.frame = None
         return self.can_read()
 
+    def progress(self, n: int = 1) -> bool:
+        """Advance the cursor by ``n`` frames."""
+        return self.seek(self._idx + n)
+
     def read(self) -> np.ndarray:
-        """The frame at the cursor (cached until the cursor moves)."""
+        """The frame at the cursor (memoized until the cursor moves)."""
         if not self.can_read():
             raise IndexError("index out of bounds")
         if self.frame is None:
             self.frame = self._frame_reader[self._idx]
         return self.frame
-
-    def progress(self, n: int = 1) -> bool:
-        """Advance the cursor by ``n`` frames."""
-        return self.seek(self._idx + n)
 
     def reset(self) -> None:
         """Rewind to before the first frame."""
@@ -209,15 +218,13 @@ class DummyReader(FrameReader):
         self._resolution = resolution
         shape = (*resolution, 3) if colored else resolution
         self._frame = np.full(shape, fill_value=255, dtype=np.uint8)
-
-        files = [str(i) for i in range(num_frames)]
-        super().__init__(".", frame_files=files)
+        super().__init__(".", frame_files=[str(i) for i in range(num_frames)])
 
     def _extract_frame_shape(self) -> tuple[int, ...]:
-        return (*self._resolution, 3) if self.colored else self._resolution
+        return self._frame.shape
 
     def __getitem__(self, idx: int) -> np.ndarray:
-        if idx < 0 or idx >= len(self):
+        if not 0 <= idx < len(self):
             raise IndexError("index out of bounds")
         return self._frame.copy()
 
@@ -236,14 +243,13 @@ class ArrayReader(FrameReader):
     def __init__(self, frames: np.ndarray):
         assert frames.ndim in (3, 4)
         self._frames = frames
-        files = [str(i) for i in range(frames.shape[0])]
-        super().__init__(".", frame_files=files)
+        super().__init__(".", frame_files=[str(i) for i in range(frames.shape[0])])
 
     def _extract_frame_shape(self) -> tuple[int, ...]:
         return tuple(self._frames.shape[1:])
 
     def __getitem__(self, idx: int) -> np.ndarray:
-        if idx < 0 or idx >= len(self):
+        if not 0 <= idx < len(self):
             raise IndexError("index out of bounds")
         return np.asarray(self._frames[idx])
 

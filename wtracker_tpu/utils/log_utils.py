@@ -1,55 +1,79 @@
 """Streaming CSV logging.
 
-Capability parity with the reference ``wtracker/utils/log_utils.py:5-91``.
-The 17-column per-frame simulation log written through this class is the
+Capability parity with the reference ``wtracker/utils/log_utils.py:5-91``: a
+header-on-open, explicitly flushable CSV sink accepting dict or positional
+rows. The 17-column per-frame simulation log written through this class is the
 system's core dataflow artifact (consumed by eval/, controllers, and VLC), so
-write/flush semantics mirror the reference exactly.
+the on-disk format (csv dialect, ``escapechar=','``, header-then-flush on
+construction) is preserved byte-for-byte.
+
+Implementation note: rows are normalized to *ordered value tuples* and emitted
+through a plain ``csv.writer`` — dict rows are projected through the column
+list at write time. (The reference does the inverse: positional rows are
+lifted into dicts for a ``DictWriter``.) Both produce identical bytes for the
+same dialect; the tuple path avoids building a throwaway dict per frame row.
 """
 
 from __future__ import annotations
 
 import csv
-from typing import Iterable
+from typing import Iterable, Mapping, Sequence
 
 
 class CSVLogger:
-    """Dict-row CSV writer with explicit flush/close and context management."""
+    """Append-oriented CSV sink bound to a fixed column schema.
 
-    def __init__(self, path: str, col_names: list[str], mode: str = "w+"):
+    Opens the file and writes the header immediately so that readers tailing
+    the log (or a crashed run) always see a well-formed CSV. Usable as a
+    context manager; ``close()`` is idempotent.
+    """
+
+    def __init__(self, path: str, col_names: Sequence[str], mode: str = "w+"):
         self.path = path
-        self.col_names = col_names
-        self._file = open(self.path, mode, newline="")
-        self._writer = csv.DictWriter(self._file, self.col_names, escapechar=",")
-        self._writer.writeheader()
+        self.col_names = list(col_names)
+        self._sink = open(path, mode, newline="")
+        self._emit = csv.writer(self._sink, escapechar=",").writerow
+        self._emit(self.col_names)
         self.flush()
+
+    # -- lifecycle ---------------------------------------------------------
 
     def __enter__(self) -> "CSVLogger":
         return self
 
-    def __exit__(self, exc_type, exc_value, traceback) -> None:
+    def __exit__(self, *exc_info) -> None:
         self.close()
 
-    def close(self) -> None:
-        if not self._file.closed:
-            self._file.flush()
-            self._file.close()
-
-    def _to_dict(self, items: Iterable) -> dict:
-        return dict(zip(self.col_names, items))
-
-    def write(self, row: dict | Iterable) -> None:
-        """Write one row — a dict keyed by column names, or an ordered iterable."""
-        assert self._file.writable()
-        if not isinstance(row, dict):
-            row = self._to_dict(row)
-        self._writer.writerow(row)
-
-    def writerows(self, rows: list[dict] | list[Iterable]) -> None:
-        """Write many rows at once."""
-        assert self._file.writable()
-        assert len(rows) > 0
-        rows = [row if isinstance(row, dict) else self._to_dict(row) for row in rows]
-        self._writer.writerows(rows)
-
     def flush(self) -> None:
-        self._file.flush()
+        self._sink.flush()
+
+    def close(self) -> None:
+        if self._sink.closed:
+            return
+        self._sink.flush()
+        self._sink.close()
+
+    # -- row emission ------------------------------------------------------
+
+    def _ordered(self, row: Mapping | Iterable) -> tuple:
+        """Normalize a row to a value tuple in schema order.
+
+        Dict rows are looked up column-by-column (missing keys become empty
+        cells, matching DictWriter's restval default); positional rows are
+        taken as already ordered.
+        """
+        if isinstance(row, Mapping):
+            return tuple(row.get(c, "") for c in self.col_names)
+        return tuple(row)
+
+    def write(self, row: Mapping | Iterable) -> None:
+        """Emit one row, given as a column-keyed mapping or ordered values."""
+        assert self._sink.writable()
+        self._emit(self._ordered(row))
+
+    def writerows(self, rows: Sequence[Mapping | Iterable]) -> None:
+        """Emit a batch of rows (at least one)."""
+        assert self._sink.writable()
+        assert len(rows) > 0
+        for row in rows:
+            self._emit(self._ordered(row))

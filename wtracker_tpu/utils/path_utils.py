@@ -3,7 +3,9 @@
 Capability parity with the reference ``wtracker/utils/path_utils.py`` —
 ``join_paths``/directory creation (8-62), ``bulk_rename`` (65-82) and the
 ``Files`` scandir iterator with a caller-supplied sorting key (85-236), used to
-order frame files for the readers.
+order frame files for the readers. Paths are normalized to posix form
+everywhere (forward slashes even on Windows) because they end up in JSON
+configs and CSV logs that must be portable.
 """
 
 from __future__ import annotations
@@ -24,27 +26,35 @@ def join_paths(*path_segments: str) -> str:
     return PurePath(*path_segments).as_posix()
 
 
-def create_parent_directory(file_path: str) -> None:
-    """Ensure the parent directory of ``file_path`` exists."""
-    Path(file_path).parent.mkdir(parents=True, exist_ok=True)
-
-
 def create_directory(dir_path: str) -> None:
-    """Ensure the directory exists."""
-    Path(dir_path).mkdir(parents=True, exist_ok=True)
+    """Ensure the directory exists (creating intermediate levels as needed).
+
+    An empty path means the current directory (Path("") semantics).
+    """
+    os.makedirs(dir_path or ".", exist_ok=True)
+
+
+def create_parent_directory(file_path: str) -> None:
+    """Ensure the directory that will hold ``file_path`` exists."""
+    parent = os.path.dirname(file_path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
 
 
 def bulk_rename(dir_path: str, rename_fn: Callable[[str], str]) -> None:
     """Rename every file (not subdirectory) in ``dir_path`` via ``rename_fn``."""
-    root = Path(dir_path)
-    for entry in root.iterdir():
-        if entry.is_dir():
-            continue
-        entry.rename(root / rename_fn(entry.name))
+    for entry in os.scandir(dir_path):
+        if entry.is_file():
+            os.rename(entry.path, os.path.join(dir_path, rename_fn(entry.name)))
 
 
 class Files:
     """Iterate the files of a directory in a caller-defined order.
+
+    Combines a filtered ``os.scandir`` snapshot with a seekable cursor; the
+    cursor powers ``get_filename``/``get_path``/``copy`` on the most recently
+    yielded entry (the reference's frame readers and sample extractor rely on
+    that stateful protocol).
 
     Args:
         directory: directory to scan.
@@ -72,22 +82,29 @@ class Files:
         self._pos = -1
         self._scan()
 
+    # -- directory snapshot ---------------------------------------------------
+
+    def _admit(self, entry: os.DirEntry) -> bool:
+        if entry.is_dir():
+            return self.scan_dirs
+        return entry.name.lower().endswith(self.extension)
+
     def _scan(self) -> None:
-        entries = []
-        for entry in os.scandir(self.root):
-            if entry.is_dir():
-                if self.scan_dirs:
-                    entries.append(entry)
-            elif entry.name.lower().endswith(self.extension):
-                entries.append(entry)
-        self.results = sorted(entries, key=lambda e: self.sorting_func(e.name))
+        snapshot = [e for e in os.scandir(self.root) if self._admit(e)]
+        snapshot.sort(key=lambda e: self.sorting_func(e.name))
+        self.results = snapshot
         self._pos = -1
+
+    # -- sequence / iteration protocol -----------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.results)
 
     def __getitem__(self, index: int) -> os.DirEntry:
         return self.results[index]
 
-    def __len__(self) -> int:
-        return len(self.results)
+    def __contains__(self, key: str) -> bool:
+        return any(key == entry.name for entry in self.results)
 
     def __iter__(self) -> Iterator[str]:
         self._pos = -1
@@ -95,13 +112,19 @@ class Files:
 
     def __next__(self) -> str:
         self._pos += 1
-        if self._pos >= len(self.results):
-            raise StopIteration
-        entry = self.results[self._pos]
+        try:
+            entry = self.results[self._pos]
+        except IndexError:
+            raise StopIteration from None
         return entry.path if self.return_full_path else entry.name
 
-    def __contains__(self, key: str) -> bool:
-        return any(res.name == key for res in self.results)
+    def seek(self, pos: int) -> str:
+        """Jump the cursor so the next yield is entry ``pos``; return it."""
+        assert 0 <= pos < len(self), "Invalid position"
+        self._pos = pos - 1
+        return next(self)
+
+    # -- cursor accessors -------------------------------------------------------
 
     def get_filename(self) -> str:
         return self.results[self._pos].name
@@ -109,10 +132,6 @@ class Files:
     def get_path(self) -> str:
         return self.results[self._pos].path
 
-    def seek(self, pos: int) -> str:
-        assert 0 <= pos < len(self), "Invalid position"
-        self._pos = pos - 1
-        return next(self)
-
     def copy(self, dst_root: str) -> None:
+        """Copy the current file (with metadata) into ``dst_root``."""
         shutil.copy2(self.get_path(), dst=dst_root)
