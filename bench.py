@@ -77,12 +77,17 @@ def main() -> None:
     )
     params = EngineParams.from_timing(timing, headless_frame_shape(timing, exp.orig_resolution))
 
-    S = int(os.environ.get("BENCH_STREAMS", "24"))
+    S = int(os.environ.get("BENCH_STREAMS", "96"))
     N_CYCLES = int(os.environ.get("BENCH_CYCLES", "12"))
     REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 
     # flagship models: YOLOv8s @416 bf16 (BN-fused inference form) + the
-    # reference's shipped ResMLP
+    # reference's shipped ResMLP.  Detector weights are random because the
+    # reference's trained yolov8s blobs are absent from the mount
+    # (.MISSING_LARGE_BLOBS:6-7); throughput is weight-value independent
+    # (same graph, same dtypes), and BN folding runs on the same
+    # trained-scale code path either way — bf16 overflow risk from trained
+    # magnitudes is bounded by the conv+BN fold test suite.
     from wtracker_tpu.models.yolov8 import YoloV8Detector, fuse_conv_bn
 
     _raw = YoloV8Detector.init_random(nc=1, scale="s", imgsz=(416, 416), compute_dtype=jnp.bfloat16, seed=0)

@@ -24,7 +24,14 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from wtracker_tpu.sim.engine import CycleController, CycleLog, EngineParams, _clamp, make_cycle_step
+from wtracker_tpu.sim.engine import (
+    CycleController,
+    CycleLog,
+    EngineParams,
+    _clamp,
+    _controller_key,
+    make_cycle_step,
+)
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "streams") -> Mesh:
@@ -54,11 +61,25 @@ def run_engine_sharded(
 ) -> CycleLog:
     """Run the stream-batched engine with streams sharded across the mesh.
 
-    Per-stream state (leading axis S, which must divide the mesh size) shards
-    over ``axis``; everything closed over by the controller (model weights,
-    scene constants) is replicated by XLA.  The scan compiles to one SPMD
-    program with no cross-chip communication in the cycle loop.
+    Per-stream state (leading axis S) shards over ``axis``; everything closed
+    over by the controller (model weights, scene constants) is replicated by
+    XLA.  The scan compiles to one SPMD program with no cross-chip
+    communication in the cycle loop.
+
+    Contract: S must be a multiple of the mesh size — sharding is a physical
+    layout, and an uneven split would silently pad device buffers while the
+    controller's math assumes a dense stream axis. Callers with uneven S
+    should pad their stream batch (e.g. repeat a trajectory) and drop the
+    extra logs, which keeps the padding explicit and the logs unambiguous.
+    A ValueError with this guidance is raised otherwise (tests/test_parallel.py).
     """
+    n_streams = int(np.asarray(init_positions).shape[0])
+    n_dev = mesh.devices.size
+    if n_streams % n_dev != 0:
+        raise ValueError(
+            f"stream count {n_streams} is not a multiple of the mesh size {n_dev}; "
+            "pad the stream batch (repeat a stream) and drop the extra logs"
+        )
     shard = stream_sharding(mesh, axis)
     run = _sharded_runner(params, controller, mesh, axis)
 
@@ -73,7 +94,7 @@ _SHARDED_CACHE: dict = {}
 
 
 def _sharded_runner(params, controller, mesh: Mesh, axis: str):
-    key = (params, controller.init, controller.decide, controller.predict_all, mesh, axis)
+    key = (params, _controller_key(controller), mesh, axis)
     if key not in _SHARDED_CACHE:
         shard = stream_sharding(mesh, axis)
         step = make_cycle_step(params, controller)

@@ -66,23 +66,32 @@ def video_live_controller(
     view_hw = (params.cam_h, params.cam_w)
     C, H, W = chunk_shape
 
-    consts = {
-        "det": detector_variables,
-        "mlp": predictor.variables,
-        "frames": jnp.zeros(chunk_shape, jnp.uint8),
-        "frame0": jnp.int32(0),
-    }
-
     use_pallas = (
         config.use_pallas_preproc
         and params.cam_w == params.cam_h
         and config.imgsz[0] == config.imgsz[1]
     )
 
+    # the Pallas kernel DMAs tile-aligned windows: store the chunk pre-padded
+    # (chunk_device_hw) so the per-call pad never runs on the hot path
+    if use_pallas:
+        from wtracker_tpu.ops.pallas_preproc import padded_chunk_hw
+
+        PH, PW = padded_chunk_hw(params.cam_w, H, W)
+    else:
+        PH, PW = H, W
+
+    consts = {
+        "det": detector_variables,
+        "mlp": predictor.variables,
+        "frames": jnp.zeros((C, PH, PW), jnp.uint8),
+        "frame0": jnp.int32(0),
+    }
+
     def crop_and_detect(consts, frame_idx, cam_tls):
         """frame_idx (N,) absolute; cam_tls (N, 2) arena coords → (N, 4) abs."""
         local = jnp.clip(frame_idx - consts["frame0"], 0, C - 1)
-        # clamp crops fully inside the frame
+        # clamp crops fully inside the (original) frame
         tls = jnp.stack(
             [jnp.clip(cam_tls[:, 0], 0, W - params.cam_w), jnp.clip(cam_tls[:, 1], 0, H - params.cam_h)],
             axis=1,
@@ -94,6 +103,7 @@ def video_live_controller(
             x = crop_letterbox_views(
                 consts["frames"], local, tls, params.cam_w, config.imgsz[0],
                 out_dtype=detector_model.compute_dtype,
+                orig_hw=(H, W),
             )
             geom = letterbox_params(view_hw, config.imgsz)  # (scale, nh, nw, pad_top, pad_left)
             boxes = detect_top1_preprocessed(
@@ -205,12 +215,17 @@ def run_video_live(
     logs_parts = []
     next_chunk = frame_source(0, min(chunk_frames, num_frames))
 
+    # the controller's resident chunk may carry tile-alignment padding for the
+    # Pallas preprocessing kernel — match its device shape on every upload
+    PC, PH, PW = controller.consts["frames"].shape
+
     for start_cycle in range(0, n_cycles, cycles_per_chunk):
         n = min(cycles_per_chunk, n_cycles - start_cycle)
         frames = next_chunk
-        if frames.shape[0] < chunk_frames:  # pad the tail chunk
-            pad = np.zeros((chunk_frames - frames.shape[0], H, W), np.uint8)
-            frames = np.concatenate([frames, pad])
+        if frames.shape != (PC, PH, PW):  # tail chunk and/or alignment pad
+            padded = np.zeros((PC, PH, PW), np.uint8)
+            padded[: frames.shape[0], :H, :W] = frames
+            frames = padded
 
         ctl = controller._replace(
             consts={**controller.consts, "frames": jnp.asarray(frames), "frame0": jnp.int32(start_cycle * L)}
