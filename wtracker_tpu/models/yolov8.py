@@ -328,6 +328,46 @@ def decode_predictions(
     return boxes, scores
 
 
+def decode_top1(
+    box_logits: Sequence[jnp.ndarray],
+    cls_logits: Sequence[jnp.ndarray],
+    imgsz: tuple[int, int],
+    reg_max: int = 16,
+):
+    """Top-1 decode: best xyxy box (B, 4) + its sigmoid score (B,).
+
+    Selects the winning anchor on *raw class logits* (sigmoid is monotonic, so
+    the argmax is identical) and runs the DFL expectation only for that one
+    anchor — the decode-everything path softmaxes 16 bins × 4 sides for every
+    anchor and was the largest elementwise share of the live loop
+    (divide_multiply fusions, docs/performance.md). Numerically identical to
+    ``decode_predictions`` + argmax.
+    """
+    b = box_logits[0].shape[0]
+    box_flat = jnp.concatenate([t.reshape(b, -1, 4 * reg_max) for t in box_logits], axis=1)
+    cls_flat = jnp.concatenate([t.reshape(b, -1, t.shape[-1]) for t in cls_logits], axis=1)
+
+    anchors, strides = make_anchors(imgsz)
+    anchors = jnp.asarray(anchors)
+    strides = jnp.asarray(strides)
+
+    top_logit = jnp.max(cls_flat.astype(jnp.float32), axis=-1)  # (B, A)
+    idx = jnp.argmax(top_logit, axis=-1)  # (B,)
+    best_score = jax.nn.sigmoid(jnp.take_along_axis(top_logit, idx[:, None], axis=1)[:, 0])
+
+    dist = jnp.take_along_axis(box_flat, idx[:, None, None], axis=1)[:, 0]  # (B, 4*reg_max)
+    dist = dist.reshape(b, 4, reg_max).astype(jnp.float32)
+    bins = jnp.arange(reg_max, dtype=jnp.float32)
+    e = jnp.exp(dist - jnp.max(dist, axis=-1, keepdims=True))
+    ltrb = jnp.sum(e * bins, axis=-1) / jnp.sum(e, axis=-1)  # (B, 4)
+
+    anchor = jnp.take(anchors, idx, axis=0)  # (B, 2)
+    stride = jnp.take(strides, idx, axis=0)  # (B, 1)
+    tl = (anchor - ltrb[:, :2]) * stride
+    br = (anchor + ltrb[:, 2:]) * stride
+    return jnp.concatenate([tl, br], axis=-1), best_score
+
+
 # ---------------------------------------------------------------------------
 # preprocessing (letterbox) and the end-to-end detector
 # ---------------------------------------------------------------------------
@@ -374,12 +414,7 @@ def detect_top1_preprocessed(
     """
     scale, pad_top, pad_left = geometry
     box_logits, cls_logits = model.apply(variables, x, train=False)
-    boxes, scores = decode_predictions(box_logits, cls_logits, imgsz, model.reg_max)
-
-    top = jnp.max(scores, axis=-1)
-    idx = jnp.argmax(top, axis=-1)
-    best_score = jnp.take_along_axis(top, idx[:, None], axis=1)[:, 0]
-    best_box = jnp.take_along_axis(boxes, idx[:, None, None], axis=1)[:, 0]
+    best_box, best_score = decode_top1(box_logits, cls_logits, imgsz, model.reg_max)
 
     xy = (best_box[:, :2] - jnp.array([pad_left, pad_top])) / scale
     wh = (best_box[:, 2:] - best_box[:, :2]) / scale
@@ -401,12 +436,7 @@ def detect_top1(
     """
     x, (scale, pad_top, pad_left) = preprocess_batch(frames, imgsz)
     box_logits, cls_logits = model.apply(variables, x, train=False)
-    boxes, scores = decode_predictions(box_logits, cls_logits, imgsz, model.reg_max)
-
-    top = jnp.max(scores, axis=-1)  # (B, A) best class per anchor
-    idx = jnp.argmax(top, axis=-1)  # (B,) best anchor
-    best_score = jnp.take_along_axis(top, idx[:, None], axis=1)[:, 0]
-    best_box = jnp.take_along_axis(boxes, idx[:, None, None], axis=1)[:, 0]  # xyxy
+    best_box, best_score = decode_top1(box_logits, cls_logits, imgsz, model.reg_max)  # xyxy
 
     # letterbox → source coordinates
     xy = (best_box[:, :2] - jnp.array([pad_left, pad_top])) / scale
