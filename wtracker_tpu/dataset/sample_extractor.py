@@ -17,6 +17,20 @@ from wtracker_tpu.utils import bbox as bb
 from wtracker_tpu.utils.io_utils import FrameSaver
 
 
+def clamp_windows(windows: np.ndarray, frame_wh: tuple[int, int]) -> np.ndarray:
+    """Translate crop windows (xywh) so each lies fully inside ``frame_wh``.
+
+    Windows are only moved, never resized; a window larger than the frame is
+    an error.
+    """
+    bound = np.asarray(frame_wh, dtype=windows.dtype)
+    xy, wh = windows[:, :2], windows[:, 2:]
+    shifted = np.clip(xy, 0, bound - wh)
+    if (bound < wh).any() or (shifted < 0).any():
+        raise ValueError("sample window does not fit inside the frame")
+    return np.concatenate([shifted, wh], axis=1)
+
+
 class SampleExtractor:
     """Extracts fixed-size training samples centered near detected worms."""
 
@@ -25,26 +39,26 @@ class SampleExtractor:
         self._frame_reader = bbox_calculator._frame_reader
 
     def move_bboxes_into_bounds(self, bboxes: np.ndarray, frame_size: tuple[int, int]) -> np.ndarray:
-        """Shift crop windows so they lie inside ``frame_size`` (w, h).
+        """Shift crop windows so they lie inside ``frame_size`` (w, h)."""
+        return clamp_windows(bboxes, frame_size)
 
-        Raises:
-            ValueError: if a window is larger than the frame.
-        """
-        max_w, max_h = frame_size
-        x, y, w, h = bboxes[:, 0].copy(), bboxes[:, 1].copy(), bboxes[:, 2], bboxes[:, 3]
+    def _jittered_windows(self, detections: np.ndarray, target_wh: tuple[int, int], rng) -> np.ndarray:
+        """Fixed-size windows placed so each worm lands at a uniformly random
+        offset inside its window, clamped into the frame."""
+        tw, th = target_wh
+        jitter = np.stack(
+            [
+                rng.integers(0, tw - detections[:, 2] + 1),
+                rng.integers(0, th - detections[:, 3] + 1),
+            ],
+            axis=-1,
+        )
+        corner = detections[:, :2] - jitter
+        sizes = np.broadcast_to(np.asarray([tw, th], corner.dtype), corner.shape)
+        windows = np.concatenate([corner, sizes], axis=1)
 
-        x = np.where(x < 0, 0, x)
-        over = x + w > max_w
-        x = np.where(over, max_w - w, x)
-
-        y = np.where(y < 0, 0, y)
-        over = y + h > max_h
-        y = np.where(over, max_h - h, y)
-
-        if np.any(x < 0) or np.any(y < 0) or np.any(x + w > max_w) or np.any(y + h > max_h):
-            raise ValueError("sample window does not fit inside the frame")
-
-        return bb.pack(x, y, w, h)
+        h, w = self._frame_reader.frame_size
+        return clamp_windows(windows, (w, h))
 
     def create_specified_samples(
         self,
@@ -65,22 +79,10 @@ class SampleExtractor:
             name_format: file name template (formatted with the sample index).
             seed: RNG seed for the crop jitter (None = nondeterministic).
         """
-        bboxes = self._bbox_calculator.calc_specified_boxes(
+        detections = self._bbox_calculator.calc_specified_boxes(
             frame_indices=frame_indices, num_workers=num_workers, chunk_size=chunk_size
         )
-
-        rng = np.random.default_rng(seed)
-        x, y, w, h = bboxes[:, 0], bboxes[:, 1], bboxes[:, 2], bboxes[:, 3]
-
-        # jitter the window so the worm lands at a random position inside it
-        x = x - rng.integers(0, target_size[0] - w + 1)
-        y = y - rng.integers(0, target_size[1] - h + 1)
-        w = np.full_like(x, target_size[0])
-        h = np.full_like(y, target_size[1])
-        windows = bb.pack(x, y, w, h)
-
-        frame_size = tuple(reversed(self._frame_reader.frame_size))  # (h, w) -> (w, h)
-        windows = self.move_bboxes_into_bounds(windows, frame_size)
+        windows = self._jittered_windows(detections, target_size, np.random.default_rng(seed))
 
         with FrameSaver(self._frame_reader, root_path=save_folder, tqdm=False) as saver:
             for i, (frame_idx, window) in enumerate(zip(frame_indices, windows)):
@@ -97,12 +99,9 @@ class SampleExtractor:
         seed: int | None = None,
     ) -> None:
         """Extract samples from ``count`` randomly chosen frames."""
-        length = len(self._frame_reader)
-        count = min(length, count)
-        frame_indices = np.random.default_rng(seed).choice(length, size=count, replace=False)
-        self.create_specified_samples(
-            frame_indices, target_size, save_folder, name_format, num_workers, chunk_size, seed
-        )
+        available = len(self._frame_reader)
+        picks = np.random.default_rng(seed).choice(available, size=min(available, count), replace=False)
+        self.create_specified_samples(picks, target_size, save_folder, name_format, num_workers, chunk_size, seed)
 
     def create_all_samples(
         self,

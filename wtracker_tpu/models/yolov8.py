@@ -51,6 +51,16 @@ def _make_divisible(x: float, divisor: int = 8) -> int:
     return int(math.ceil(x / divisor) * divisor)
 
 
+def _silu(x: jnp.ndarray) -> jnp.ndarray:
+    """SiLU via tanh: x·σ(x) = 0.5·x·(tanh(x/2)+1).
+
+    Mathematically identical to ``nn.silu``; on TPU the tanh lowers to the
+    transcendental unit while ``1/(1+e⁻ˣ)`` lowers to exp+divide — the SiLU
+    divides were the largest elementwise share of the live loop
+    (divide_multiply fusions ≈ 84 ms/cycle at S=96, docs/performance.md)."""
+    return 0.5 * x * (jnp.tanh(0.5 * x) + 1.0)
+
+
 class ConvBN(nn.Module):
     """Conv2d + BatchNorm + SiLU — the basic YOLO conv block (NHWC).
 
@@ -85,7 +95,7 @@ class ConvBN(nn.Module):
                 dtype=self.compute_dtype,
                 name="bn",
             )(x)
-        return nn.silu(x)
+        return _silu(x)
 
 
 class Bottleneck(nn.Module):
@@ -384,18 +394,21 @@ def letterbox_params(src_hw: tuple[int, int], dst_hw: tuple[int, int]):
     return scale, new_h, new_w, pad_top, pad_left
 
 
-def preprocess_batch(frames: jnp.ndarray, imgsz: tuple[int, int]) -> tuple[jnp.ndarray, tuple]:
-    """uint8 (B, H, W[, C]) frames → normalized letterboxed (B, h, w, 3) f32.
+def preprocess_batch(
+    frames: jnp.ndarray, imgsz: tuple[int, int], dtype=jnp.float32
+) -> tuple[jnp.ndarray, tuple]:
+    """uint8 (B, H, W[, C]) frames → normalized letterboxed (B, h, w, 3).
 
     Grayscale inputs broadcast to 3 channels (the reference converts gray→BGR
     before YOLO, yolo_controller.py:70).  The resize runs as two constant
-    interpolation matmuls (MXU-friendly, :mod:`wtracker_tpu.ops.image`).
-    Returns the tensor and the letterbox geometry for mapping boxes back to
-    source coordinates.
+    interpolation matmuls (MXU-friendly, :mod:`wtracker_tpu.ops.image`);
+    bf16-compute detectors pass their compute dtype to halve the
+    preprocessing memory traffic.  Returns the tensor and the letterbox
+    geometry for mapping boxes back to source coordinates.
     """
     from wtracker_tpu.ops.image import letterbox
 
-    return letterbox(frames, imgsz)
+    return letterbox(frames, imgsz, dtype=dtype)
 
 
 def detect_top1_preprocessed(
@@ -434,7 +447,7 @@ def detect_top1(
     (B, H, W[, C]) frames → (B, 4) xywh in source pixels; NaN rows when the
     best score is below ``conf`` (the reference's ``max_det=1`` contract).
     """
-    x, (scale, pad_top, pad_left) = preprocess_batch(frames, imgsz)
+    x, (scale, pad_top, pad_left) = preprocess_batch(frames, imgsz, dtype=model.compute_dtype)
     box_logits, cls_logits = model.apply(variables, x, train=False)
     best_box, best_score = decode_top1(box_logits, cls_logits, imgsz, model.reg_max)  # xyxy
 

@@ -45,28 +45,27 @@ class MLPController(CsvController):
         self.max_dist_per_pred = max_speed_px_frame * self.io_config.pred_frames[0]
 
     def provide_movement_vector(self, sim: Simulator) -> tuple[int, int]:
-        frames_for_pred = np.asarray(self.io_config.input_frames, dtype=int)
-        frames_for_pred += sim.frame_number - self.timing_config.pred_frame_num
+        kickoff = sim.frame_number - self.timing_config.pred_frame_num
+        sample_frames = kickoff + np.asarray(self.io_config.input_frames, dtype=int)
 
-        cam_center = bb.center(np.asarray(sim.view.camera_position, dtype=float))
-        worm_bboxes = self.predict(frames_for_pred, relative=False).reshape(1, -1)
-        if not np.isfinite(worm_bboxes).all():
+        boxes = self.predict(sample_frames, relative=False)
+        if not np.isfinite(boxes).all():
             return 0, 0
 
-        # worm position relative to camera center (bbox corner, not center —
-        # consistent with how the dataset re-bases its features)
-        rel_x = worm_bboxes[0, 0] - cam_center[0]
-        rel_y = worm_bboxes[0, 1] - cam_center[1]
+        # anchor = the first input bbox corner relative to the camera center
+        # (corner, not center — consistent with the dataset's feature re-base)
+        cam_center = bb.center(np.asarray(sim.view.camera_position, dtype=float))
+        origin = boxes[0, :2].copy()
+        anchor = origin - cam_center
 
-        # re-base all coordinates to the first input bbox
-        x0, y0 = worm_bboxes[0, 0], worm_bboxes[0, 1]
-        worm_bboxes[:, 0::4] -= x0
-        worm_bboxes[:, 1::4] -= y0
+        # feature layout: all coordinates re-based to the first input bbox
+        feats = boxes
+        feats[:, :2] -= origin
+        displacement = np.asarray(self.model(feats.reshape(1, -1))).ravel()
+        displacement = np.clip(displacement, -self.max_dist_per_pred, self.max_dist_per_pred)
 
-        pred = np.asarray(self.model(worm_bboxes)).flatten()
-        pred = np.clip(pred, -self.max_dist_per_pred, self.max_dist_per_pred)
-
-        return round(pred[0].item() + rel_x), round(pred[1].item() + rel_y)
+        move = displacement[:2] + anchor
+        return round(move[0].item()), round(move[1].item())
 
     def print_model(self) -> None:
         self.model.print_model()

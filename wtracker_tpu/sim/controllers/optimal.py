@@ -17,21 +17,24 @@ from wtracker_tpu.sim.simulator import Simulator
 
 
 class OptimalController(CsvController):
+    """Centers the camera on the median future worm position (an oracle)."""
+
     def __init__(self, timing_config: TimingConfig, csv_path: str):
         super().__init__(timing_config, csv_path)
         self._csv_centers = self._csv_data[:, :2] + self._csv_data[:, 2:] / 2
 
+    def _future_imaging_centers(self, cycle: int) -> np.ndarray:
+        """Finite worm centers over the *next* cycle's imaging phase."""
+        lo = (cycle + 1) * self.timing_config.cycle_frame_num
+        window = self._csv_centers[lo : lo + self.timing_config.imaging_frame_num]
+        return window[np.isfinite(window).all(axis=1)]
+
     def provide_movement_vector(self, sim: Simulator) -> tuple[int, int]:
-        timing = self.timing_config
-        start = (sim.cycle_number + 1) * timing.cycle_frame_num
-        end = start + timing.imaging_frame_num
-
-        next_imaging = self._csv_centers[start:end, :]
-        next_imaging = next_imaging[np.isfinite(next_imaging).all(axis=1)]
-        if len(next_imaging) == 0:
+        ahead = self._future_imaging_centers(sim.cycle_number)
+        if ahead.shape[0] == 0:
             return 0, 0
+        target = np.median(ahead, axis=0)
 
-        x_next, y_next = np.median(next_imaging, axis=0)
-
-        cam_x, cam_y, cam_w, cam_h = sim.view.camera_position
-        return round(x_next - (cam_x + cam_w / 2)), round(y_next - (cam_y + cam_h / 2))
+        cam = np.asarray(sim.view.camera_position, dtype=float)
+        move = target - (cam[:2] + cam[2:] / 2)
+        return round(move[0]), round(move[1])

@@ -47,21 +47,22 @@ def _weight_eval_mae(x_input, y_input, weights, x_target, y_target, deg):
 
 @dataclass
 class PolyfitConfig(ConfigBase):
+    """Fit recipe: polynomial degree + sample grid + per-sample weights.
+
+    Field schema matches the reference PolyfitConfig (saved JSONs round-trip);
+    ``sample_times`` are frames relative to the cycle start (negatives reach
+    into previous cycles) and are kept sorted; omitted weights mean uniform.
+    """
+
     degree: int
-    """Degree of the polynomial fitted to the worm trajectory."""
-
     sample_times: list[int]
-    """Sample times relative to the cycle start (0 = cycle start; negatives
-    reach into previous cycles)."""
-
     weights: list[float] = None
-    """Per-sample fit weights; ``None`` means uniform."""
 
     def __post_init__(self):
         self.sample_times = sorted(self.sample_times)
         if self.weights is None:
-            self.weights = [1.0 for _ in self.sample_times]
-        assert len(self.sample_times) == len(self.weights)
+            self.weights = [1.0] * len(self.sample_times)
+        assert len(self.weights) == len(self.sample_times)
 
 
 class PolyfitController(CsvController):
@@ -78,34 +79,32 @@ class PolyfitController(CsvController):
         self._sample_times = np.asarray(polyfit_config.sample_times, dtype=int)
         self._weights = np.asarray(polyfit_config.weights, dtype=float)
 
+    def _sampled_track(self, sim: Simulator) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(times, centers, weights) of the finite samples for this cycle,
+        with centers shifted into the current camera view."""
+        query = sim.cycle_number * self.timing_config.cycle_frame_num + self._sample_times
+        boxes = self.predict(query, relative=False)
+        boxes[:, :2] -= np.asarray(sim.view.camera_position[:2])
+
+        centers = bb.center(boxes)
+        ok = np.isfinite(centers).all(axis=1)
+        return self._sample_times[ok], centers[ok], self._weights[ok]
+
     def provide_movement_vector(self, sim: Simulator) -> tuple[int, int]:
         timing = self.timing_config
-        config = self.polyfit_config
-
-        bboxes = self.predict(
-            sim.cycle_number * timing.cycle_frame_num + self._sample_times, relative=False
-        )
-        # shift into the current camera view
-        camera_bbox = sim.view.camera_position
-        bboxes[:, 0] -= camera_bbox[0]
-        bboxes[:, 1] -= camera_bbox[1]
-
-        positions = bb.center(bboxes)
-        mask = np.isfinite(positions).all(axis=1)
-        time = self._sample_times[mask]
-        positions = positions[mask]
-        weights = self._weights[mask]
-        if len(time) == 0:
+        times, centers, weights = self._sampled_track(sim)
+        if times.size == 0:
             return 0, 0
 
         # Host path: numpy's own polynomial fit (what the reference calls) for
         # bit-exact log parity.  The scan engine uses the jitted TPU-safe
         # equivalent in ops.polyfit instead.
-        coeffs = npoly.polyfit(time, positions, deg=config.degree, w=weights)
-        x_pred, y_pred = npoly.polyval(timing.cycle_frame_num + timing.imaging_frame_num // 2, coeffs)
+        horizon = timing.cycle_frame_num + timing.imaging_frame_num // 2
+        coeffs = npoly.polyfit(times, centers, deg=self.polyfit_config.degree, w=weights)
+        future = npoly.polyval(horizon, coeffs)
 
-        cam_w, cam_h = sim.view.camera_size
-        return round(x_pred - cam_w / 2), round(y_pred - cam_h / 2)
+        half_cam = np.asarray(sim.view.camera_size, dtype=float) / 2
+        return round(future[0] - half_cam[0]), round(future[1] - half_cam[1])
 
 
 class WeightEvaluator:
@@ -132,34 +131,32 @@ class WeightEvaluator:
         min_speed: float = 0,
         max_speed: float = np.inf,
     ):
-        self.csv_paths = csv_paths
+        self.csv_paths = list(csv_paths)
         self.timing_config = timing_config
+        self.input_time_offsets = np.sort(input_time_offsets)
         self.pred_time_offset = pred_time_offset
         self.min_speed = min_speed
         self.max_speed = max_speed
-        self.input_time_offsets = np.sort(input_time_offsets)
-        self._construct_dataset()
 
-    def _construct_dataset(self) -> None:
-        input_positions = []
-        target_positions = []
-        for i, path in enumerate(self.csv_paths):
-            bboxes = pd.read_csv(path, usecols=WORM_COLS)[WORM_COLS].to_numpy(dtype=float)
-            inp, tgt = self._extract_positions(bboxes, self.timing_config.cycle_frame_num)
-            input_positions.append(inp)
-            target_positions.append(tgt)
-
-            init_cycles = len(bboxes) // self.timing_config.cycle_frame_num
-            final_cycles = len(tgt) // 2
-            removed = init_cycles - final_cycles
-            pct = round(removed / init_cycles * 100, 1) if init_cycles else 0.0
-            print(f"Log {i} :: Number of evaluation cycles: {final_cycles}")
-            print(f"Log {i} :: Number of cycles removed: {removed} ({pct} %)")
-
-        self.y_input = np.concatenate(input_positions, axis=1)
+        per_log = [self._load_log_pairs(i, p) for i, p in enumerate(self.csv_paths)]
         self.x_input = self.input_time_offsets.reshape(-1)
-        self.y_target = np.concatenate(target_positions, axis=0)
+        self.y_input = np.concatenate([inp for inp, _ in per_log], axis=1)
+        self.y_target = np.concatenate([tgt for _, tgt in per_log], axis=0)
         self.x_target = np.full_like(self.y_target, self.pred_time_offset)
+
+    def _load_log_pairs(self, log_idx: int, path: str) -> tuple[np.ndarray, np.ndarray]:
+        """Read one log and extract its (inputs, target) pairs, reporting how
+        much of it survived the validity/speed filters."""
+        cycle_len = self.timing_config.cycle_frame_num
+        track = pd.read_csv(path, usecols=WORM_COLS)[WORM_COLS].to_numpy(dtype=float)
+        inp, tgt = self._extract_positions(track, cycle_len)
+
+        total = len(track) // cycle_len
+        kept = len(tgt) // 2
+        pct = round((total - kept) / total * 100, 1) if total else 0.0
+        print(f"Log {log_idx} :: Number of evaluation cycles: {kept}")
+        print(f"Log {log_idx} :: Number of cycles removed: {total - kept} ({pct} %)")
+        return inp, tgt
 
     def _extract_positions(self, raw_bboxes: np.ndarray, cycle_length: int) -> tuple[np.ndarray, np.ndarray]:
         """Per-cycle (inputs, target) center positions, filtered for validity/speed.

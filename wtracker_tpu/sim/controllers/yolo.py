@@ -93,14 +93,15 @@ class YoloController(SimController):
         pass
 
     def provide_movement_vector(self, sim: Simulator) -> tuple[int, int]:
-        frame = self._camera_frames[-self.timing_config.pred_frame_num]
-        bbox = self.predict([frame])[0]
+        # decide on the frame captured pred_frame_num frames ago — modelling
+        # real inference latency (yolo_controller.py:95-97)
+        decision_frame = self._camera_frames[-self.timing_config.pred_frame_num]
+        (bbox,) = self.predict([decision_frame])
         if not np.isfinite(bbox).all():
             return 0, 0
 
-        bbox_mid = bbox[0] + bbox[2] / 2, bbox[1] + bbox[3] / 2
-        camera_mid = sim.view.camera_size[0] / 2, sim.view.camera_size[1] / 2
-        return round(bbox_mid[0] - camera_mid[0]), round(bbox_mid[1] - camera_mid[1])
+        offset = (bbox[:2] + bbox[2:] / 2) - np.asarray(sim.view.camera_size, dtype=float) / 2
+        return round(offset[0]), round(offset[1])
 
     def _cycle_predict_all(self, sim: Simulator) -> np.ndarray:
         return self.predict(self._camera_frames)
