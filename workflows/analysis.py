@@ -53,7 +53,7 @@ def main() -> None:
 
     an.data.to_csv(join_paths(args.output, "analyzed.csv"), index=False)
 
-    plotter = Plotter([an.data])
+    plotter = Plotter.from_analyzers([an])  # unit plumbed from the analyzer
     for name, fn in [
         ("speed_distribution", plotter.plot_speed_distribution),
         ("error_distribution", plotter.plot_error_distribution),

@@ -6,6 +6,13 @@ from wtracker_tpu.sim.simulator import SimController, Simulator
 from wtracker_tpu.sim.view import ViewController
 
 # TPU engine (imported lazily-heavy modules are fine: engine pulls jax only)
+from wtracker_tpu.sim.engine_hetero import (
+    StreamGeometry,
+    csv_controller_hetero,
+    geometry_from_configs,
+    pad_worm_tables,
+    run_sweep_hetero,
+)
 from wtracker_tpu.sim.engine import (
     CycleController,
     CycleLog,
@@ -35,6 +42,11 @@ __all__ = [
     "DecideCtx",
     "EngineParams",
     "csv_controller",
+    "StreamGeometry",
+    "csv_controller_hetero",
+    "geometry_from_configs",
+    "pad_worm_tables",
+    "run_sweep_hetero",
     "headless_frame_shape",
     "logs_to_frame",
     "mlp_controller",
