@@ -19,38 +19,81 @@ import time
 import numpy as np
 
 
-def _device_health_check(timeout_s: int = 180) -> bool:
+def _device_health_check(timeout_s: int = 90, attempts: int = 10, wait_s: int = 60) -> bool:
     """Run a trivial op with a hard timeout — the axon tunnel can wedge in a
-    state where every jax call (even devices()) blocks forever."""
+    state where every jax call (even devices()) blocks forever.
+
+    The tunnel wedges in stretches of minutes and recovers on its own, so a
+    single probe at an unlucky moment would falsely report the device dead
+    (round 1 lost its headline number exactly this way). Probe repeatedly for
+    up to ~15 minutes before giving up."""
     import subprocess
     import sys
 
     code = "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones((8, 128)))))"
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, timeout=timeout_s, text=True
-        )
-        return "1024.0" in out.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    for attempt in range(attempts):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, timeout=timeout_s, text=True
+            )
+            if "1024.0" in out.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt < attempts - 1:
+            time.sleep(wait_s)
+    return False
+
+
+def _unavailable(note: str) -> str:
+    return json.dumps(
+        {
+            "metric": "closed-loop sim steps/sec/chip (YOLOv8s@416+ResMLP, every frame detected)",
+            "value": 0.0,
+            "unit": "steps/s",
+            "vs_baseline": 0.0,
+            "note": note,
+        }
+    )
 
 
 def main() -> None:
-    os.environ.setdefault("WTRACKER_TPU_NO_X64", "")  # keep x64 default
+    """Watchdog wrapper: health-probe (with retries), then run the measurement
+    in a timed subprocess — a tunnel wedge mid-run must not hang the driver —
+    retrying once more after a fresh health probe if the attempt dies."""
+    import subprocess
+
+    if os.environ.get("WTRACKER_BENCH_INNER"):
+        _measure()
+        return
 
     if not _device_health_check():
-        print(
-            json.dumps(
-                {
-                    "metric": "closed-loop sim steps/sec/chip (YOLOv8s@416+ResMLP, every frame detected)",
-                    "value": 0.0,
-                    "unit": "steps/s",
-                    "vs_baseline": 0.0,
-                    "note": "device unavailable: the TPU tunnel did not answer a trivial op within 180s",
-                }
-            )
-        )
+        print(_unavailable("device unavailable: the TPU tunnel did not answer a trivial op for ~15 min"))
         return
+
+    env = {**os.environ, "WTRACKER_BENCH_INNER": "1"}
+    for attempt in range(2):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True,
+                timeout=1500,
+                text=True,
+                env=env,
+            )
+            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if lines:
+                print(lines[-1])
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt == 0 and not _device_health_check():
+            break
+    print(_unavailable("device unavailable: the measurement subprocess hung/died twice (tunnel wedge)"))
+
+
+def _measure() -> None:
+    os.environ.setdefault("WTRACKER_TPU_NO_X64", "")  # keep x64 default
 
     import jax
     import jax.numpy as jnp

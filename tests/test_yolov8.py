@@ -160,3 +160,48 @@ def test_port_handles_full_pickle_prefix(ported):
     a = jax.tree.leaves(variables["params"])
     b = jax.tree.leaves(variables2["params"])
     assert all(np.array_equal(x, y) for x, y in zip(a, b))
+
+
+def test_decode_top1_equals_full_decode(rng):
+    """decode_top1 must pick the same box/score as decode-everything+argmax
+    (it selects on raw logits; sigmoid monotonicity makes that identical)."""
+    import jax.numpy as jnp
+
+    from wtracker_tpu.models.yolov8 import decode_predictions, decode_top1, make_anchors
+
+    imgsz = (64, 64)
+    anchors, _ = make_anchors(imgsz)
+    A = anchors.shape[0]
+    B, reg_max, nc = 5, 16, 3
+    # per-level logits as the head emits them: (B, h, w, 4*reg_max) / (B, h, w, nc)
+    box_lv, cls_lv = [], []
+    for s in (8, 16, 32):
+        h = w = imgsz[0] // s
+        box_lv.append(jnp.asarray(rng.normal(size=(B, h, w, 4 * reg_max)).astype(np.float32)))
+        cls_lv.append(jnp.asarray(rng.normal(size=(B, h, w, nc)).astype(np.float32)))
+
+    boxes, scores = decode_predictions(box_lv, cls_lv, imgsz, reg_max)
+    top = np.max(np.asarray(scores), axis=-1)
+    idx = np.argmax(top, axis=-1)
+    want_box = np.asarray(boxes)[np.arange(B), idx]
+    want_score = top[np.arange(B), idx]
+
+    got_box, got_score = decode_top1(box_lv, cls_lv, imgsz, reg_max)
+    np.testing.assert_allclose(np.asarray(got_score), want_score, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_box), want_box, atol=1e-4)
+
+
+def test_letterbox_bf16_close_to_f32(rng):
+    """The bf16 letterbox (used by bf16-compute detectors) stays within bf16
+    rounding of the f32 path."""
+    import jax.numpy as jnp
+
+    from wtracker_tpu.ops.image import letterbox
+
+    frames = jnp.asarray(rng.integers(0, 255, size=(3, 99, 108), dtype=np.uint8))
+    x32, geom32 = letterbox(frames, (416, 416))
+    x16, geom16 = letterbox(frames, (416, 416), dtype=jnp.bfloat16)
+    assert geom32 == geom16
+    assert x16.dtype == jnp.bfloat16
+    diff = np.abs(np.asarray(x16, dtype=np.float32) - np.asarray(x32))
+    assert diff.max() < 0.02  # a few bf16 ulps at [0, 1] scale
