@@ -166,3 +166,57 @@ def test_sharded_rejects_uneven_streams():
     init = np.tile(exp.init_position, (mesh.devices.size + 1, 1))  # 9 streams on 8 devices
     with pytest.raises(ValueError, match="not a multiple of the mesh size"):
         run_engine_sharded(params, ctl, init, 2, mesh)
+
+
+def test_pad_streams_then_shard():
+    """pad_streams makes an uneven batch mesh-divisible; the pad slots replay
+    the last real stream, so their logs are identical and discardable."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tests.synthetic import EXP_KWARGS, TIMING_KWARGS
+    from wtracker_tpu.parallel import make_mesh, pad_streams, run_engine_sharded
+    from wtracker_tpu.sim.config import ExperimentConfig, TimingConfig
+    from wtracker_tpu.sim.engine import (
+        CycleController,
+        EngineParams,
+        _gather_rows,
+        headless_frame_shape,
+    )
+
+    exp = ExperimentConfig(**EXP_KWARGS)
+    timing = TimingConfig(experiment_config=exp, **TIMING_KWARGS)
+    params = EngineParams.from_timing(timing, headless_frame_shape(timing, exp.orig_resolution))
+    mesh = make_mesh()
+
+    rng = np.random.default_rng(0)
+    s_real = mesh.devices.size + 3  # 11 streams on 8 devices
+    tables = rng.uniform(50, 400, size=(s_real, 90, 4))
+    init = np.tile(exp.init_position, (s_real, 1))
+
+    padded_tables, padded_init, real = pad_streams(tables, init, mesh.devices.size)
+    assert real == s_real and padded_tables.shape[0] % mesh.devices.size == 0
+
+    # per-stream playback controller: state carries each stream's own table
+    def init_state():
+        return {"csv": jnp.asarray(padded_tables, dtype=jnp.float64)}
+
+    def decide(consts, state, ctx):
+        f = ctx.cycle * params.cycle_n + params.imaging_n
+        bbox = _gather_rows(state["csv"], f - params.pred_n)
+        cam_tl = jnp.stack([ctx.position[0] - params.cam_w // 2, ctx.position[1] - params.cam_h // 2])
+        center = (bbox[:2] - cam_tl) + bbox[2:] / 2
+        target = center - jnp.array([params.cam_w / 2, params.cam_h / 2])
+        ok = jnp.isfinite(bbox).all()
+        return state, jnp.where(ok, jnp.round(target), 0.0).astype(jnp.int32)
+
+    def predict_all(consts, state, cycle_idx, positions):
+        return _gather_rows(state["csv"], cycle_idx * params.cycle_n + jnp.arange(params.cycle_n))
+
+    ctl = CycleController(init=init_state, decide=decide, predict_all=predict_all)
+    logs = run_engine_sharded(params, ctl, padded_init, 3, mesh)
+
+    assert np.asarray(logs.positions).shape[1] == padded_tables.shape[0]
+    np.testing.assert_array_equal(
+        np.asarray(logs.positions)[:, real - 1], np.asarray(logs.positions)[:, -1]
+    )

@@ -3,6 +3,7 @@
 from wtracker_tpu.parallel.mesh import (
     make_dp_train_step,
     make_mesh,
+    pad_streams,
     replicated,
     run_engine_sharded,
     stream_sharding,
@@ -11,6 +12,7 @@ from wtracker_tpu.parallel.mesh import (
 __all__ = [
     "make_dp_train_step",
     "make_mesh",
+    "pad_streams",
     "replicated",
     "run_engine_sharded",
     "stream_sharding",

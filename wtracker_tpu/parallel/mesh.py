@@ -34,6 +34,30 @@ from wtracker_tpu.sim.engine import (
 )
 
 
+def pad_streams(arrays, init_positions: np.ndarray, n_devices: int):
+    """Pad a stream batch to a multiple of ``n_devices`` by repeating the
+    last stream; returns (padded_arrays, padded_init, real_count).
+
+    ``arrays`` is a pytree of (S, ...) leaves (e.g. stacked worm tables or
+    trajectories). Logs for slots >= real_count are duplicates to drop.
+    This is the padding `run_engine_sharded`'s divisibility error points at —
+    explicit so the caller knows which log rows are real.
+    """
+    s = int(np.asarray(init_positions).shape[0])
+    pad = (-s) % n_devices
+    if pad == 0:
+        return arrays, init_positions, s
+
+    def _pad(leaf):
+        leaf = np.asarray(leaf)
+        filler = np.repeat(leaf[-1:], pad, axis=0)
+        return np.concatenate([leaf, filler], axis=0)
+
+    import jax
+
+    return jax.tree.map(_pad, arrays), _pad(init_positions), s
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "streams") -> Mesh:
     """A 1-D mesh over the first ``n_devices`` devices."""
     devices = jax.devices()
