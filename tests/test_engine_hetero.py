@@ -78,3 +78,28 @@ def test_hetero_rejects_mismatched_timing(tracks):
     t1 = TimingConfig(experiment_config=exps[1], **{**TIMING, "imaging_time_ms": 400.0})
     with pytest.raises(ValueError, match="cycle shape"):
         geometry_from_configs([t0, t1], exps)
+
+
+def test_hetero_sweep_on_mesh(tracks):
+    """The mixed-geometry sweep shards across the CPU mesh and still produces
+    the same per-experiment logs as the unsharded run."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+
+    from wtracker_tpu.parallel import make_mesh, pad_streams
+
+    exps = [ExperimentConfig(**e) for e in EXPS]
+    timings = [TimingConfig(experiment_config=e, **TIMING) for e in exps]
+    params, geometry = geometry_from_configs(timings, exps)
+
+    init = np.asarray([e.init_position for e in exps])
+    plain = run_sweep_hetero(params, geometry, csv_controller_hetero(pad_worm_tables(tracks), params, geometry), init)
+
+    mesh = make_mesh(2)
+    ctl = csv_controller_hetero(pad_worm_tables(tracks), params, geometry)
+    meshed = run_sweep_hetero(params, geometry, ctl, init, mesh=mesh)
+
+    for i in range(len(exps)):
+        assert meshed[i].to_csv(index=False) == plain[i].to_csv(index=False), f"exp{i}"

@@ -103,7 +103,7 @@ def main() -> None:
         if mesh is not None:
             from wtracker_tpu.parallel import run_engine_sharded
 
-            logs = run_engine_sharded(params, ctl, init_pos, n_cycles, mesh)
+            logs = run_engine_sharded(params, ctl, init_pos, n_cycles, mesh, batched_controller=True)
         else:
             logs = run_engine_streams(params, ctl, init_pos, n_cycles, batched_controller=True)
         frames = [

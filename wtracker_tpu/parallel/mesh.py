@@ -30,7 +30,10 @@ from wtracker_tpu.sim.engine import (
     EngineParams,
     _clamp,
     _controller_key,
+    _has_stream_bounds,
+    make_batched_cycle_step,
     make_cycle_step,
+    make_delayed_cycle_step,
 )
 
 
@@ -82,6 +85,8 @@ def run_engine_sharded(
     n_cycles: int,
     mesh: Mesh,
     axis: str = "streams",
+    batched_controller: bool = False,
+    delayed_log: bool = False,
 ) -> CycleLog:
     """Run the stream-batched engine with streams sharded across the mesh.
 
@@ -105,28 +110,51 @@ def run_engine_sharded(
             "pad the stream batch (repeat a stream) and drop the extra logs"
         )
     shard = stream_sharding(mesh, axis)
-    run = _sharded_runner(params, controller, mesh, axis)
+    run = _sharded_runner(params, controller, mesh, axis, batched_controller, delayed_log)
+
+    def _put_const(leaf):
+        # per-stream consts (leading axis S — playback tables, arena bounds,
+        # camera sizes) shard with the streams; shared data replicates
+        leaf = jnp.asarray(leaf)
+        if leaf.ndim >= 1 and leaf.shape[0] == n_streams:
+            return jax.device_put(leaf, shard)
+        return jax.device_put(leaf, replicated(mesh))
 
     with mesh:
         init = jax.device_put(np.asarray(init_positions, dtype=np.int32), shard)
-        consts = jax.device_put(controller.consts, replicated(mesh))
+        consts = jax.tree.map(_put_const, controller.consts)
         state0 = jax.tree.map(lambda x: jax.device_put(x, shard), controller.init())
-        return run(consts, init, state0, jnp.arange(n_cycles, dtype=jnp.int32))
+        logs = run(consts, init, state0, jnp.arange(n_cycles + (1 if delayed_log else 0), dtype=jnp.int32))
+        if delayed_log:
+            logs = jax.tree.map(lambda x: x[1:], logs)
+        return logs
 
 
 _SHARDED_CACHE: dict = {}
 
 
-def _sharded_runner(params, controller, mesh: Mesh, axis: str):
-    key = (params, _controller_key(controller), mesh, axis)
+def _sharded_runner(params, controller, mesh: Mesh, axis: str, batched_controller: bool, delayed_log: bool):
+    key = (params, _controller_key(controller), mesh, axis, batched_controller, delayed_log)
     if key not in _SHARDED_CACHE:
         shard = stream_sharding(mesh, axis)
-        step = make_cycle_step(params, controller)
-        batched = jax.vmap(step, in_axes=(None, (0, 0, 0), None))
+        if delayed_log:
+            batched = make_delayed_cycle_step(params, controller)
+        elif batched_controller:
+            # the controller owns the stream axis itself (flat device batches);
+            # XLA partitions its ops from the carry sharding constraints
+            batched = make_batched_cycle_step(params, controller)
+        else:
+            batched = jax.vmap(make_cycle_step(params, controller), in_axes=(None, (0, 0, 0), None))
+
+        clamp_streamwise = _has_stream_bounds(controller)
 
         @jax.jit
         def run(consts, init_pos, state0, cycles):
-            pos0 = _clamp(jnp.asarray(init_pos, dtype=jnp.int32), params)
+            init = jnp.asarray(init_pos, dtype=jnp.int32)
+            if clamp_streamwise:
+                pos0 = jnp.clip(init, 0, jnp.asarray(consts["stream_bounds"], jnp.int32) - 1)
+            else:
+                pos0 = _clamp(init, params)
             pos0 = jax.lax.with_sharding_constraint(pos0, shard)
             s = pos0.shape[0]
             prev0 = jnp.broadcast_to(pos0[:, None, :], (s, params.cycle_n, 2)).astype(jnp.int32)

@@ -186,7 +186,7 @@ def run_sweep_hetero(
     if mesh is not None:
         from wtracker_tpu.parallel import run_engine_sharded
 
-        logs = run_engine_sharded(params, controller, init_positions, n_cycles, mesh)
+        logs = run_engine_sharded(params, controller, init_positions, n_cycles, mesh, batched_controller=True)
     else:
         logs = run_engine_streams(params, controller, init_positions, n_cycles, batched_controller=True)
 
