@@ -145,12 +145,20 @@ def _measure() -> None:
 
     arena = (1400, 1600)
     trajs = np.stack([make_trajectory(60_000, arena, seed=i) for i in range(S)])
+    # chunk the per-cycle flat batch so each detect sub-batch is ~360 views —
+    # large flat batches thrash HBM (measured 38.3k img/s at B=360 vs 12.7k
+    # at B=1440, docs/performance.md)
+    n_views = S * params.cycle_n
+    chunks = int(os.environ.get("BENCH_CHUNKS", "0")) or max(1, round(n_views / 360))
+    while n_views % chunks:
+        chunks -= 1
     cfg = LiveLoopConfig(
         imgsz=(416, 416),
         conf=0.1,
         ring_size=64,
         log_mode=True,  # detect EVERY frame, like the logging reference loop
         max_dist_per_pred=54.0,
+        detect_chunks=chunks,
     )
     ctl = make_stream_batch_fused(params, cfg, SyntheticScene(), trajs, det_model, det_vars, predictor)
     init_pos = np.tile([700, 700], (S, 1))

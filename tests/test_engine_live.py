@@ -187,3 +187,40 @@ def test_live_loop_no_detection_fallback(setup):
     assert (pos == pos[0, 0]).all()
     # and the log rows carry NaN (missing detection protocol)
     assert np.isnan(np.asarray(logs.worm_bboxes)).all()
+
+
+def test_chunked_detect_equals_single_batch():
+    """detect_chunks splits the per-cycle batch sequentially; per-view math is
+    independent, so logs must be identical to the single-batch run."""
+    import numpy as np
+
+    from wtracker_tpu.sim.engine import run_engine_streams
+    from wtracker_tpu.sim.engine_live import LiveLoopConfig, make_stream_batch_fused
+    from wtracker_tpu.sim.synthetic import SyntheticScene, make_trajectory
+
+    exp = ExperimentConfig(**EXP_KWARGS)
+    timing = TimingConfig(experiment_config=exp, **TIMING_KWARGS)
+    params = EngineParams.from_timing(timing, headless_frame_shape(timing, exp.orig_resolution))
+    model, variables = _tiny_detector()
+    predictor = _tiny_predictor()
+    S = 4
+    trajs = np.stack([make_trajectory(200, (160, 160), seed=i) for i in range(S)])
+    base = dict(imgsz=(64, 64), conf=0.0, ring_size=32, log_mode=True, max_dist_per_pred=20.0)
+    init = np.tile([80, 80], (S, 1))
+
+    ctl1 = make_stream_batch_fused(params, LiveLoopConfig(**base), SyntheticScene(), trajs, model, variables, predictor)
+    ctl4 = make_stream_batch_fused(
+        params, LiveLoopConfig(**base, detect_chunks=4), SyntheticScene(), trajs, model, variables, predictor
+    )
+    logs1 = run_engine_streams(params, ctl1, init, 4, delayed_log=True)
+    logs4 = run_engine_streams(params, ctl4, init, 4, delayed_log=True)
+
+    # decisions (and so the platform path) must be identical
+    np.testing.assert_array_equal(np.asarray(logs1.positions), np.asarray(logs4.positions))
+    # logged boxes: conv numerics may differ in the last ulp between batch
+    # sizes, which can flip an exact argmax tie on rare views — allow a
+    # fraction of a percent of rows to differ, the rest must match closely
+    a = np.asarray(logs1.worm_bboxes).reshape(-1, 4)
+    b = np.asarray(logs4.worm_bboxes).reshape(-1, 4)
+    row_close = np.all(np.isclose(a, b, atol=1e-4, equal_nan=True), axis=1)
+    assert row_close.mean() >= 0.995, f"only {row_close.mean():.3f} of rows match"
