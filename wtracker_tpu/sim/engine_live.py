@@ -52,9 +52,9 @@ class LiveLoopConfig:
     """Video path only: fuse crop+resize+normalize into the Pallas kernel."""
     detect_chunks: int = 1
     """Split each cycle's flat render+detect batch into this many sequential
-    sub-batches (``lax.map``). Big flat batches (S·cycle_n ≳ 1000 views)
-    thrash HBM — measured 38.3k img/s at B=360 vs 12.7k at B=1440 — so ~360
-    views per sub-batch is the sweet spot. 1 = single batch (the default)."""
+    sub-batches (``lax.map``). ~360 views per sub-batch measures ~8% faster
+    end-to-end than one flat S·cycle_n batch (7,415 vs 6,839 img/s detector
+    throughput; 5,531 vs 5,135 steps/s in the loop). 1 = single batch."""
 
 
 def hybrid_yolo_mlp_controller(
