@@ -130,3 +130,107 @@ def test_visualize_cli(base, sim_out):
         "--stop", 8,
     )
     assert os.path.getsize(tmp / "replay.mp4") > 0
+
+
+@pytest.fixture(scope="module")
+def frames_dir(tmp_path_factory):
+    """A tiny synthetic recording: 160x160 BMP frames with a dark arena and a
+    bright moving blob (classical-detectable)."""
+    import cv2
+
+    tmp = tmp_path_factory.mktemp("frames")
+    rng = np.random.default_rng(0)
+    n = 150
+    pos = np.stack([60 + 30 * np.sin(np.arange(n) / 18), 70 + 25 * np.cos(np.arange(n) / 23)], 1)
+    for i in range(n):
+        frame = rng.integers(10, 30, size=(160, 160), dtype=np.uint8)
+        x, y = pos[i]
+        yy, xx = np.mgrid[:160, :160]
+        blob = 180 * np.exp(-(((xx - x) / 5.0) ** 2 + ((yy - y) / 4.0) ** 2))
+        cv2.imwrite(str(tmp / f"frame_{i:05d}.bmp"), np.clip(frame + blob, 0, 255).astype(np.uint8))
+    return tmp
+
+
+def test_experiment_lifecycle_clis(frames_dir, tmp_path_factory):
+    """The reference's full experiment lifecycle, CLI by CLI: initialize
+    (classical detection + background) -> create yolo images -> train a tiny
+    detector -> live-track the recording with it."""
+    tmp = tmp_path_factory.mktemp("lifecycle")
+
+    # 1. initialize_experiment: exp config + init_bboxes.csv + background
+    _run(
+        "initialize_experiment.py",
+        "--frames", frames_dir,
+        "--output", tmp / "exp0",
+        "--fps", 60,
+        "--px-per-mm", 90,
+        "--bg-probes", 40,
+        "--batch", 32,
+        timeout=600,
+    )
+    produced = os.listdir(tmp / "exp0")
+    assert any("bboxes" in f for f in produced), produced
+    assert any(f.endswith(".npy") for f in produced), produced
+
+    # 2. create_yolo_images: training crops + labels
+    _run(
+        "create_yolo_images.py",
+        "--frames", frames_dir,
+        "--output", tmp / "yolo_data",
+        "--count", 12,
+        "--size", 64, 64,
+        "--bg-probes", 30,
+        timeout=600,
+    )
+    crops = [f for f in os.listdir(tmp / "yolo_data") if f.endswith(".png")]
+    assert len(crops) == 12  # one fixed-size sample per requested frame
+
+    # 3. yolo_training on a labeled set (the reference annotates the crops by
+    # hand; here labels come from the generator's known blob positions)
+    import cv2
+
+    os.makedirs(tmp / "train" / "images")
+    os.makedirs(tmp / "train" / "labels")
+    rng = np.random.default_rng(1)
+    for i in range(10):
+        img = rng.integers(10, 30, size=(64, 64), dtype=np.uint8)
+        x, y = rng.uniform(16, 48, 2)
+        yy, xx = np.mgrid[:64, :64]
+        img = np.clip(img + 180 * np.exp(-(((xx - x) / 4.0) ** 2 + ((yy - y) / 3.0) ** 2)), 0, 255)
+        cv2.imwrite(str(tmp / "train" / "images" / f"s{i:03d}.png"), img.astype(np.uint8))
+        with open(tmp / "train" / "labels" / f"s{i:03d}.txt", "w") as f:
+            f.write(f"0 {x/64:.4f} {y/64:.4f} {16/64:.4f} {12/64:.4f}\n")
+    _run(
+        "yolo_training.py",
+        "--images", tmp / "train" / "images",
+        "--labels", tmp / "train" / "labels",
+        "--output", tmp / "det.npz",
+        "--scale", "n",
+        "--imgsz", 64,
+        "--epochs", 2,
+        "--batch", 8,
+        timeout=600,
+    )
+    assert os.path.exists(tmp / "det.npz")
+
+    # 4. track_video: the live loop over the recording with the trained weights
+    exp_json = next(f for f in os.listdir(tmp / "exp0") if f.endswith("exp_config.json"))
+    timing = TimingConfig(
+        experiment_config=ExperimentConfig.load_json(str(tmp / "exp0" / exp_json)),
+        **TIMING_KWARGS,
+    )
+    timing.save_json(str(tmp / "timing.json"))
+    _run(
+        "track_video.py",
+        "--frames", frames_dir,
+        "--timing-config", tmp / "timing.json",
+        "--exp-config", tmp / "exp0" / exp_json,
+        "--detector", tmp / "det.npz",
+        "--output", tmp / "track_out",
+        "--imgsz", 64,
+        "--conf", 0.0,
+        "--chunk-cycles", 4,
+        timeout=600,
+    )
+    log = pd.read_csv(tmp / "track_out" / "bboxes.csv")
+    assert log.shape[1] == 17 and len(log) > 50
