@@ -125,3 +125,42 @@ def test_files_sorting_and_rename(tmp_path):
 
 def test_join_paths():
     assert join_paths("a", "b", "c") == "a/b/c"
+
+
+def test_gui_utils_headless_error():
+    """GUI prompts must fail with a clear RuntimeError headless (the reference
+    crashes deep inside tkinter when a config path is None, gui_utils.py:43)."""
+    import pytest
+
+    from wtracker_tpu.utils.gui_utils import UserPrompt
+
+    with pytest.raises(RuntimeError, match="display|tk|headless|GUI"):
+        UserPrompt.open_file("pick a file")
+
+
+def test_stage_timer():
+    import time
+
+    from wtracker_tpu.utils.profiling import StageTimer
+
+    t = StageTimer()
+    with t("alpha"):
+        time.sleep(0.01)
+    with t("alpha"):
+        time.sleep(0.01)
+    with t("beta"):
+        pass
+    report = t.report()
+    assert "alpha" in report and "beta" in report
+    t.reset()
+    assert "alpha" not in t.report()
+
+
+def test_train_result_helpers():
+    from wtracker_tpu.neural.train_results import EpochResult, FitResult
+
+    ep = EpochResult(losses=[2.0, 4.0], accuracy=0.5)
+    assert ep.mean_loss == 3.0
+    fit = FitResult(num_epochs=3, train_loss=[], train_acc=[], test_loss=[], test_acc=[0.1, 0.9, 0.4])
+    assert fit.best_epoch() == 1
+    assert FitResult(0, [], [], [], []).best_epoch() == 0
