@@ -94,8 +94,14 @@ def main() -> None:
 
 def _measure() -> None:
     os.environ.setdefault("WTRACKER_TPU_NO_X64", "")  # keep x64 default
+    # persistent compilation cache: skipping the ~4-minute remote compile
+    # halves the bench's exposure to tunnel wedges (measured 8m40s -> 3m58s)
+    cache_dir = os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/wtracker-jax-cache")
+    os.makedirs(cache_dir, exist_ok=True)
 
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     import jax.numpy as jnp
 
     import wtracker_tpu  # noqa: F401  (enables x64)
