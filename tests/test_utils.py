@@ -67,6 +67,20 @@ def test_csv_logger(tmp_path):
     assert df["b"].tolist() == [2, 4, 6, 8]
 
 
+def test_csv_logger_rejects_malformed_rows(tmp_path):
+    """Error contract parity with the reference's DictWriter: unknown dict
+    keys raise, and positional rows must exactly fill the schema."""
+    path = str(tmp_path / "log.csv")
+    with CSVLogger(path, ["a", "b"]) as log:
+        with pytest.raises(ValueError, match="not in the schema"):
+            log.write({"a": 1, "z": 9})
+        with pytest.raises(ValueError, match="cells"):
+            log.write([1, 2, 3])
+        with pytest.raises(ValueError, match="cells"):
+            log.write([1])
+        log.write({"a": 1})  # missing keys become empty cells (restval)
+
+
 def test_dummy_reader():
     reader = DummyReader(10, (32, 48), colored=False)
     assert len(reader) == 10

@@ -58,7 +58,8 @@ def main() -> None:
             run_sweep_hetero,
         )
 
-        assert len(args.exp_configs) == len(args.worm_csvs)
+        if len(args.exp_configs) != len(args.worm_csvs):
+            ap.error("--exp-configs must list one config per --worm-csvs entry")
         base = TimingConfig.load_json(args.timing_config)
         exps = [ExperimentConfig.load_json(p) for p in args.exp_configs]
         timings = [
@@ -87,7 +88,8 @@ def main() -> None:
             run_engine_streams,
         )
 
-        assert args.frame_shape and args.init_position, "--frame-shape/--init-position or --exp-configs"
+        if not (args.frame_shape and args.init_position):
+            ap.error("either --frame-shape + --init-position or --exp-configs is required")
         timing = TimingConfig.load_json(args.timing_config)
         params = EngineParams.from_timing(timing, tuple(args.frame_shape))
 

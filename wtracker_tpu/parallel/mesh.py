@@ -102,6 +102,12 @@ def run_engine_sharded(
     extra logs, which keeps the padding explicit and the logs unambiguous.
     A ValueError with this guidance is raised otherwise (tests/test_parallel.py).
     """
+    if delayed_log and not batched_controller:
+        raise ValueError(
+            "delayed_log=True requires a batched controller: the delayed cycle "
+            "step hands the controller stacked (S, ...) inputs, which a "
+            "vmap-style per-stream controller cannot handle"
+        )
     n_streams = int(np.asarray(init_positions).shape[0])
     n_dev = mesh.devices.size
     if n_streams % n_dev != 0:

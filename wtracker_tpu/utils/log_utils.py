@@ -63,8 +63,14 @@ class CSVLogger:
         taken as already ordered.
         """
         if isinstance(row, Mapping):
+            unknown = set(row) - set(self.col_names)
+            if unknown:
+                raise ValueError(f"row contains fields not in the schema: {sorted(unknown)}")
             return tuple(row.get(c, "") for c in self.col_names)
-        return tuple(row)
+        vals = tuple(row)
+        if len(vals) != len(self.col_names):
+            raise ValueError(f"positional row has {len(vals)} cells, schema has {len(self.col_names)}")
+        return vals
 
     def write(self, row: Mapping | Iterable) -> None:
         """Emit one row, given as a column-keyed mapping or ordered values."""

@@ -43,7 +43,9 @@ def create_parent_directory(file_path: str) -> None:
 
 def bulk_rename(dir_path: str, rename_fn: Callable[[str], str]) -> None:
     """Rename every file (not subdirectory) in ``dir_path`` via ``rename_fn``."""
-    for entry in os.scandir(dir_path):
+    # snapshot before renaming: a lazily-iterated scandir can re-yield a
+    # renamed entry on some filesystems and rename it twice
+    for entry in list(os.scandir(dir_path)):
         if entry.is_file():
             os.rename(entry.path, os.path.join(dir_path, rename_fn(entry.name)))
 
