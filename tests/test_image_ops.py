@@ -68,3 +68,35 @@ def test_crop_views(rng):
     np.testing.assert_array_equal(out[0], frames[0, 7:15, 5:15])
     np.testing.assert_array_equal(out[1], frames[1, 0:8, 0:10])
     np.testing.assert_array_equal(out[2], frames[2, 20:28, 30:40])
+
+
+def test_letterbox_indexed_matches_shared_letterbox():
+    """Per-geometry letterbox operators reduce to the shared-matrix letterbox
+    on each view's native content (mixed-geometry detector batches)."""
+    import jax.numpy as jnp
+
+    from wtracker_tpu.ops.image import letterbox, letterbox_indexed, make_letterbox_matrices
+
+    rng = np.random.default_rng(0)
+    canvas = (108, 110)
+    geoms = [(99, 108), (101, 110)]
+    my, mx, cy, cx, g = make_letterbox_matrices(geoms, canvas, (64, 64))
+    views = rng.uniform(0, 255, size=(6, *canvas)).astype(np.float32)
+    gids = np.array([0, 1, 0, 1, 1, 0])
+
+    out = np.asarray(letterbox_indexed(jnp.asarray(views), jnp.asarray(gids), my, mx, cy, cx))
+    assert out.shape == (6, 64, 64, 3)
+    for i in range(6):
+        h, w = geoms[gids[i]]
+        ref, (s, pt, pl) = letterbox(jnp.asarray(views[i : i + 1, :h, :w]), (64, 64))
+        assert np.isclose(s, g[gids[i]][0]) and (pt, pl) == g[gids[i]][1:]
+        # batched-einsum tiling may differ from the shared-matrix contraction
+        # by one f32 ulp; the geometry (placement, padding, scale) is exact
+        assert np.abs(out[i] - np.asarray(ref)[0]).max() <= 2e-6
+
+
+def test_make_letterbox_matrices_rejects_oversize_source():
+    from wtracker_tpu.ops.image import make_letterbox_matrices
+
+    with pytest.raises(ValueError, match="exceeds the canvas"):
+        make_letterbox_matrices([(120, 100)], (110, 110), (64, 64))

@@ -108,6 +108,35 @@ def test_sweep_cli_mixed_geometry(base):
 
 
 @heavy_cli
+def test_sweep_cli_mixed_timing_buckets(base):
+    """Two timing regimes in ONE invocation: the sweep buckets by quantized
+    cycle shape and runs each group as its own compiled program."""
+    tmp, exp, timing = base
+    make_worm_csv(str(tmp / "worm3.csv"), num_frames=420, seed=13)
+    exp3 = ExperimentConfig("wf3", 420, EXP_KWARGS["frames_per_sec"], (460, 560), 92, (120, 300))
+    exp3.save_json(str(tmp / "exp3.json"))
+    slow = TimingConfig(
+        experiment_config=exp3, **{**TIMING_KWARGS, "imaging_time_ms": 150.0}
+    )
+    slow.save_json(str(tmp / "timing_slow.json"))
+    proc = _run(
+        "sweep.py",
+        "--timing-configs", tmp / "timing.json", tmp / "timing_slow.json",
+        "--worm-csvs", tmp / "worm.csv", tmp / "worm3.csv",
+        "--exp-configs", tmp / "exp.json", tmp / "exp3.json",
+        "--output", tmp / "sweep_buckets",
+    )
+    assert "2 timing buckets" in proc.stdout
+    a = pd.read_csv(tmp / "sweep_buckets" / "exp0" / "bboxes.csv")
+    b = pd.read_csv(tmp / "sweep_buckets" / "exp1" / "bboxes.csv")
+    # different quantizations -> different cycle lengths in the logs
+    cyc_a = len(a) // (int(a["cycle"].max()) + 1)
+    cyc_b = len(b) // (int(b["cycle"].max()) + 1)
+    assert cyc_a != cyc_b, (cyc_a, cyc_b)
+    assert len(a) > 100 and len(b) > 100
+
+
+@heavy_cli
 def test_predictor_training_cli(base, sim_out):
     tmp, exp, timing = base
     _run(

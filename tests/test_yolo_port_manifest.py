@@ -210,3 +210,61 @@ def test_letterbox_matches_ultralytics_conventions(src_hw, dst):
     assert np.abs(inner - float_resized).max() < 1e-5
 
     assert np.abs(np.asarray(ours[0]) - np.asarray(ours[0, :, :, :1])).max() == 0  # channels identical
+
+
+# -- the inverse port (export) ------------------------------------------------
+
+
+def test_export_state_dict_round_trip():
+    """Flax → ultralytics layout → Flax must be the identity, and the emitted
+    key set must be the exact independent manifest."""
+    from wtracker_tpu.models.yolo_port import export_state_dict, port_state_dict
+    from wtracker_tpu.models.yolov8 import YoloV8
+
+    model = YoloV8(nc=1, scale="s")
+    variables = model.init(jax.random.PRNGKey(7), jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+
+    sd = export_state_dict(variables)
+    manifest = ultralytics_v8s_manifest(nc=1)
+    assert set(sd) == set(manifest), (
+        sorted(set(manifest) - set(sd))[:5], sorted(set(sd) - set(manifest))[:5]
+    )
+    for k, shape in manifest.items():
+        assert tuple(sd[k].shape) == shape, (k, sd[k].shape, shape)
+
+    back = port_state_dict(sd, prefix="model.")
+    flat_a = jax.tree_util.tree_leaves_with_path(jax.tree.map(np.asarray, variables))
+    flat_b = jax.tree_util.tree_leaves_with_path(jax.tree.map(np.asarray, back))
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(flat_a, flat_b):
+        assert pa == pb
+        np.testing.assert_array_equal(va, vb)
+
+
+def test_export_refuses_fused_variables():
+    from wtracker_tpu.models.yolo_port import export_state_dict
+    from wtracker_tpu.models.yolov8 import YoloV8Detector
+
+    det = YoloV8Detector.init_random(nc=1, scale="n", imgsz=(64, 64)).fuse()
+    with pytest.raises(ValueError, match="unfused"):
+        export_state_dict(det.variables)
+
+
+def test_save_torch_state_dict_loads_back():
+    """The .pt file written by the exporter must load through the existing
+    ultralytics-checkpoint loader and detect identically."""
+    import tempfile, os
+    from wtracker_tpu.models.yolo_port import load_ultralytics_checkpoint, save_torch_state_dict
+    from wtracker_tpu.models.yolov8 import YoloV8Detector
+
+    det = YoloV8Detector.init_random(nc=1, scale="s", imgsz=(64, 64), conf=0.0, seed=3)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "export.pt")
+        save_torch_state_dict(det, path)
+        back = load_ultralytics_checkpoint(path, imgsz=(64, 64), conf=0.0)
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, size=(2, 64, 64), dtype=np.uint8)
+    np.testing.assert_allclose(
+        np.asarray(det.detect(frames)), np.asarray(back.detect(frames)), atol=1e-5
+    )

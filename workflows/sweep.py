@@ -21,7 +21,14 @@ import argparse
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--timing-config", required=True)
+    ap.add_argument("--timing-config", help="shared timing config (single-regime sweeps)")
+    ap.add_argument(
+        "--timing-configs",
+        nargs="+",
+        help="one timing config per experiment (mixed-geometry mode only); "
+        "experiments are grouped by quantized cycle shape and each group "
+        "runs as its own compiled sweep",
+    )
     ap.add_argument("--worm-csvs", required=True, nargs="+", help="trajectory log per experiment")
     ap.add_argument("--init-position", type=int, nargs=2, help="shared init (homogeneous mode)")
     ap.add_argument("--frame-shape", type=int, nargs=2, help="shared clamp bounds h w (homogeneous mode)")
@@ -52,6 +59,7 @@ def main() -> None:
     if args.exp_configs:
         # -- mixed geometry: per-experiment arenas/cameras in one program ----
         from wtracker_tpu.sim.engine_hetero import (
+            bucket_by_cycle_shape,
             csv_controller_hetero,
             geometry_from_configs,
             pad_worm_tables,
@@ -60,24 +68,45 @@ def main() -> None:
 
         if len(args.exp_configs) != len(args.worm_csvs):
             ap.error("--exp-configs must list one config per --worm-csvs entry")
-        base = TimingConfig.load_json(args.timing_config)
+        if not args.timing_config and not args.timing_configs:
+            ap.error("--timing-config or --timing-configs is required")
         exps = [ExperimentConfig.load_json(p) for p in args.exp_configs]
+        if args.timing_configs:
+            if len(args.timing_configs) != len(args.exp_configs):
+                ap.error("--timing-configs must list one config per experiment")
+            bases = [TimingConfig.load_json(p) for p in args.timing_configs]
+        else:
+            bases = [TimingConfig.load_json(args.timing_config)] * len(exps)
         timings = [
             TimingConfig(
                 experiment_config=e,
-                imaging_time_ms=base.imaging_time_ms,
-                pred_time_ms=base.pred_time_ms,
-                moving_time_ms=base.moving_time_ms,
-                camera_size_mm=base.camera_size_mm,
-                micro_size_mm=base.micro_size_mm,
+                imaging_time_ms=b.imaging_time_ms,
+                pred_time_ms=b.pred_time_ms,
+                moving_time_ms=b.moving_time_ms,
+                camera_size_mm=b.camera_size_mm,
+                micro_size_mm=b.micro_size_mm,
             )
-            for e in exps
+            for e, b in zip(exps, bases)
         ]
-        params, geometry = geometry_from_configs(timings, exps)
-        ctl = csv_controller_hetero(pad_worm_tables(tables), params, geometry)
-        init = np.asarray([e.init_position for e in exps])
-        frames = run_sweep_hetero(params, geometry, ctl, init, mesh=mesh)
-        n_cycles = params.n_logged_cycles(int(geometry.num_frames.max()))
+        # mixed timing regimes cannot share one compiled cycle shape — run
+        # each quantization bucket as its own sweep and merge in input order
+        frames = [None] * len(exps)
+        n_cycles = 0
+        buckets = bucket_by_cycle_shape(timings)
+        for bucket in buckets:
+            params, geometry = geometry_from_configs(
+                [timings[i] for i in bucket], [exps[i] for i in bucket]
+            )
+            ctl = csv_controller_hetero(
+                pad_worm_tables([tables[i] for i in bucket]), params, geometry
+            )
+            init = np.asarray([exps[i].init_position for i in bucket])
+            out = run_sweep_hetero(params, geometry, ctl, init, mesh=mesh)
+            for j, i in enumerate(bucket):
+                frames[i] = out[j]
+            n_cycles = max(n_cycles, params.n_logged_cycles(int(geometry.num_frames.max())))
+        if len(buckets) > 1:
+            print(f"split into {len(buckets)} timing buckets: {buckets}")
     else:
         # -- homogeneous: one geometry shared by all streams -----------------
         from wtracker_tpu.sim.engine import (
@@ -90,6 +119,8 @@ def main() -> None:
 
         if not (args.frame_shape and args.init_position):
             ap.error("either --frame-shape + --init-position or --exp-configs is required")
+        if not args.timing_config:
+            ap.error("--timing-config is required in homogeneous mode")
         timing = TimingConfig.load_json(args.timing_config)
         params = EngineParams.from_timing(timing, tuple(args.frame_shape))
 

@@ -124,6 +124,79 @@ def port_state_dict(sd: dict, prefix: str = "model.") -> dict[str, Any]:
     }
 
 
+# ---------------------------------------------------------------------------
+# the inverse port: Flax → ultralytics state-dict layout (for interop export)
+# ---------------------------------------------------------------------------
+
+
+def _export_kernel(k: np.ndarray) -> np.ndarray:
+    """flax HWIO → torch OIHW."""
+    return np.ascontiguousarray(np.transpose(np.asarray(k), (3, 2, 0, 1)))
+
+
+def _export_convbn(out: dict, prefix: str, p: dict, s: dict) -> None:
+    out[f"{prefix}.conv.weight"] = _export_kernel(p["conv"]["kernel"])
+    out[f"{prefix}.bn.weight"] = np.asarray(p["bn"]["scale"])
+    out[f"{prefix}.bn.bias"] = np.asarray(p["bn"]["bias"])
+    out[f"{prefix}.bn.running_mean"] = np.asarray(s["bn"]["mean"])
+    out[f"{prefix}.bn.running_var"] = np.asarray(s["bn"]["var"])
+    out[f"{prefix}.bn.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+
+
+def export_state_dict(variables: dict, prefix: str = "model.", reg_max: int = 16) -> dict[str, np.ndarray]:
+    """Convert Flax ``{"params", "batch_stats"}`` to the ultralytics
+    ``model.{i}.*`` state-dict layout (the exact inverse of
+    :func:`port_state_dict`) so natively-trained detectors flow back to the
+    reference toolchain (yolo_training.ipynb exports its weights for reuse).
+
+    Requires the *unfused* variables (BN still separate); raises otherwise.
+    The fixed DFL expectation conv (which our decode computes arithmetically)
+    is materialized as ``arange(reg_max)`` to complete the manifest.
+    """
+    params = variables["params"]
+    stats = variables.get("batch_stats")
+    if not stats:
+        raise ValueError(
+            "export needs unfused variables with batch_stats — export before "
+            "fuse_conv_bn(), or retrain/load the unfused form"
+        )
+    out: dict[str, np.ndarray] = {}
+
+    def walk(p: dict, s: dict, prefix_t: str) -> None:
+        if "conv" in p and "bn" in p:
+            _export_convbn(out, prefix_t, p, s)
+            return
+        for name in sorted(p):
+            tname = name.replace("m_", "m.") if name.startswith("m_") else name
+            walk(p[name], s.get(name, {}), f"{prefix_t}.{tname}")
+
+    for ours, idx in LAYER_MAP.items():
+        walk(params[ours], stats[ours], f"{prefix}{idx}")
+
+    base = f"{prefix}{HEAD_LAYER}"
+    for i in range(3):
+        for branch in ("cv2", "cv3"):
+            for j in (0, 1):
+                p = params["head"][f"{branch}_{i}_{j}"]
+                s = stats["head"][f"{branch}_{i}_{j}"]
+                _export_convbn(out, f"{base}.{branch}.{i}.{j}", p, s)
+            p2 = params["head"][f"{branch}_{i}_2"]
+            out[f"{base}.{branch}.{i}.2.weight"] = _export_kernel(p2["kernel"])
+            out[f"{base}.{branch}.{i}.2.bias"] = np.asarray(p2["bias"])
+    out[f"{base}.dfl.conv.weight"] = np.arange(reg_max, dtype=np.float32).reshape(1, reg_max, 1, 1)
+    return out
+
+
+def save_torch_state_dict(detector, path: str, prefix: str = "model.") -> None:
+    """Export a detector's weights as a torch ``state_dict`` file in the
+    ultralytics naming layout (loadable with ``torch.load`` + the reference's
+    YOLO tooling)."""
+    import torch
+
+    sd = export_state_dict(detector.variables, prefix=prefix, reg_max=detector.model.reg_max)
+    torch.save({k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()}, path)
+
+
 def load_ultralytics_checkpoint(path: str, imgsz=(384, 384), conf: float = 0.1):
     """Load an ultralytics .pt checkpoint into a :class:`YoloV8Detector`.
 

@@ -508,6 +508,36 @@ class YoloV8Detector:
         box_logits, cls_logits = self.model.apply(self.variables, x, train=False)
         return decode_predictions(box_logits, cls_logits, self.imgsz, self.model.reg_max)
 
+    def detect_multi(
+        self, frames, max_det: int = 300, iou: float = 0.7
+    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Multi-detection inference through the general TPU NMS.
+
+        The reference exposes ``max_det`` on its YoloController config
+        (yolo_controller.py:30) and runs validation NMS at iou 0.7 / max_det
+        300 (yolo_train_config.yaml:49-50); this is the native counterpart:
+        decode every anchor, suppress with :func:`wtracker_tpu.ops.nms.nms`,
+        map survivors back to source pixels.
+
+        Returns ``(boxes, scores, valid)``: (B, max_det, 4) xywh in source
+        frame pixels (zero rows where invalid), (B, max_det) scores, and the
+        (B, max_det) validity mask.
+        """
+        from wtracker_tpu.ops.nms import batched_nms
+
+        frames = jnp.asarray(frames)
+        src_hw = frames.shape[1:3]
+        x, (scale, pad_top, pad_left) = preprocess_batch(frames, self.imgsz)
+        box_logits, cls_logits = self.model.apply(self.variables, x, train=False)
+        boxes, scores = decode_predictions(box_logits, cls_logits, self.imgsz, self.model.reg_max)
+        top = jnp.max(scores, axis=-1)  # class-agnostic (single-class contract)
+        kept, kept_scores, valid = batched_nms(boxes, top, iou, self.conf, max_det)
+
+        xy = (kept[..., :2] - jnp.array([pad_left, pad_top])) / scale
+        wh = (kept[..., 2:] - kept[..., :2]) / scale
+        out = jnp.concatenate([xy, wh], axis=-1)
+        return jnp.where(valid[..., None], out, 0.0), kept_scores, valid
+
     # -- construction ------------------------------------------------------
 
     @staticmethod

@@ -1,0 +1,644 @@
+"""The full native detector-training recipe: augmentation → schedule → EMA →
+validation → checkpointing.
+
+The reference delegates all of this to the ultralytics trainer; its settings
+file is the spec here (/root/reference/yolo/yolo_train_config.yaml): epochs
+100, patience (:9-11), batch 72, imgsz 384 (:12-13), AdamW (:24), val during
+training with NMS iou 0.7 (:45-50), lr0/lrf 0.01 (:93-94), weight_decay 5e-4
+(:96), 3 warmup epochs (:97), box/cls/dfl gains 7.5/0.5/1.5 (:100-102), HSV
+jitter (:107-109), translate 0.1 / scale 0.2 (:111-112), flipud 0.3 / fliplr
+0.5 (:115-116), mosaic 0.4 with close_mosaic 10 (:117, :30).
+
+Everything here is re-designed for the TPU rather than ported:
+
+* the whole train epoch is ONE compiled ``lax.scan`` over batches — data sits
+  on device, the permutation is an argument, and augmentation runs inside the
+  step (no host round trips, no retraces across epochs);
+* spatial augmentation (scale, translate, flips) composes into per-image
+  interpolation *matrices* applied as two batched einsums — the same
+  matmul-form resampling the inference letterbox uses (ops/image.py), so the
+  warp runs on the MXU with static shapes. Out-of-range taps blend toward the
+  ultralytics border constant 114;
+* mosaic is a fixed 2×2 grid of half-size resizes (static shapes) — the
+  random placement ultralytics gets from its random mosaic *center* is
+  recovered by the random affine that follows, which jitters scale and
+  translation anyway;
+* HSV jitter degenerates for the grayscale worm imagery: hsv_v maps to a
+  brightness gain and hsv_s to a contrast gain about the image mean (hue is
+  meaningless on replicated-channel gray frames);
+* EMA of the parameters (decay ramping as ultralytics' ModelEMA) is carried
+  through the scan and used for validation/checkpoints;
+* validation decodes every anchor and runs the general TPU NMS
+  (:mod:`wtracker_tpu.ops.nms`), then computes single-class AP@0.5 —
+  the quality number the lifecycle gates on.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from wtracker_tpu.models.yolov8 import YoloV8, decode_predictions
+from wtracker_tpu.neural.yolo_training import detection_loss
+from wtracker_tpu.ops.image import resize_bilinear
+from wtracker_tpu.ops.nms import batched_nms
+
+BORDER = 114.0 / 255.0  # ultralytics letterbox/affine fill, normalized
+
+
+# ---------------------------------------------------------------------------
+# configuration
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class AugmentConfig:
+    """Augmentation strengths (defaults = the reference's training yaml)."""
+
+    mosaic: float = 0.4
+    fliplr: float = 0.5
+    flipud: float = 0.3
+    translate: float = 0.1  # fraction of image size
+    scale: float = 0.2  # gain: s ~ U[1-scale, 1+scale]
+    brightness: float = 0.4  # hsv_v equivalent for grayscale
+    contrast: float = 0.3  # hsv_s equivalent for grayscale
+    min_box_px: float = 2.0  # boxes shrinking below this are dropped
+
+    @property
+    def identity(self) -> bool:
+        return (
+            self.mosaic == 0
+            and self.fliplr == 0
+            and self.flipud == 0
+            and self.translate == 0
+            and self.scale == 0
+            and self.brightness == 0
+            and self.contrast == 0
+        )
+
+
+@dataclass(frozen=True)
+class RecipeConfig:
+    """Full training-run settings (defaults = the reference recipe)."""
+
+    epochs: int = 100
+    batch: int = 72
+    lr0: float = 1e-3  # AdamW peak LR (yaml lr0 is the SGD value; its own
+    # comment prescribes 1e-3 for Adam-family optimizers)
+    lrf: float = 0.01  # final LR = lr0 * lrf (cosine decay)
+    weight_decay: float = 5e-4
+    warmup_epochs: float = 3.0
+    patience: int = 100  # early-stop epochs without val improvement
+    close_mosaic: int = 10  # disable mosaic for the last N epochs
+    ema_decay: float = 0.9999
+    ema_tau: float = 2000.0  # ramp: decay * (1 - exp(-step / tau))
+    val_fraction: float = 0.2  # split when no explicit val set is given
+    val_iou: float = 0.7  # NMS IoU threshold during validation
+    val_conf: float = 0.001  # validation score floor
+    val_max_det: int = 32
+    augment: AugmentConfig = field(default_factory=AugmentConfig)
+    seed: int = 0
+
+
+# ---------------------------------------------------------------------------
+# dataset loading (YOLO txt-label format)
+# ---------------------------------------------------------------------------
+
+
+def load_yolo_dataset(images_dir: str, labels_dir: str, imgsz: int, max_gt: int = 4):
+    """Load a YOLO-format dataset (images + ``class cx cy w h`` label files)
+    into padded arrays: (N,s,s,3) f32 images in [0,1], (N,G,4) xyxy gt boxes
+    in pixels, (N,G) classes, (N,G) validity."""
+    import cv2 as cv
+
+    names = sorted(f for f in os.listdir(images_dir) if f.lower().endswith((".png", ".jpg", ".bmp")))
+    images, gts, clss, masks = [], [], [], []
+    for name in names:
+        img = cv.imread(os.path.join(images_dir, name), cv.IMREAD_GRAYSCALE)
+        img = cv.resize(img, (imgsz, imgsz))
+        images.append(np.repeat(img[..., None], 3, axis=-1).astype(np.float32) / 255.0)
+
+        label_path = os.path.join(labels_dir, os.path.splitext(name)[0] + ".txt")
+        gt = np.zeros((max_gt, 4), np.float32)
+        cls = np.zeros((max_gt,), np.int32)
+        mask = np.zeros((max_gt,), bool)
+        if os.path.exists(label_path):
+            rows = [ln for ln in open(label_path).read().splitlines() if ln.strip()]
+            if len(rows) > max_gt:
+                raise ValueError(f"{label_path}: {len(rows)} boxes exceed max_gt={max_gt}")
+            for j, line in enumerate(rows):
+                c, cx, cy, bw, bh = (float(v) for v in line.split())
+                gt[j] = (
+                    (cx - bw / 2) * imgsz,
+                    (cy - bh / 2) * imgsz,
+                    (cx + bw / 2) * imgsz,
+                    (cy + bh / 2) * imgsz,
+                )
+                cls[j] = int(c)
+                mask[j] = True
+        gts.append(gt)
+        clss.append(cls)
+        masks.append(mask)
+    return np.stack(images), np.stack(gts), np.stack(clss), np.stack(masks)
+
+
+# ---------------------------------------------------------------------------
+# on-device augmentation
+# ---------------------------------------------------------------------------
+
+
+def _warp_matrix(coords: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(M,) fractional source coordinates → (M, n) bilinear sampling matrix.
+
+    Triangle weights give exactly the two bilinear taps for in-range
+    coordinates and fade to zero outside, so ``R @ img`` resamples the image
+    and ``1 - R.sum(-1)`` is the border-fill weight.
+    """
+    j = jnp.arange(n, dtype=jnp.float32)
+    return jnp.clip(1.0 - jnp.abs(coords[:, None] - j[None, :]), 0.0, 1.0)
+
+
+def _sample_affine(rng, B: int, hw: tuple[int, int], cfg: AugmentConfig):
+    """Per-image spatial-augment parameters: scale, translation, flips."""
+    h, w = hw
+    ks, kt, kfx, kfy = jax.random.split(rng, 4)
+    s = 1.0 + cfg.scale * jax.random.uniform(ks, (B,), minval=-1.0, maxval=1.0)
+    t = jax.random.uniform(kt, (B, 2), minval=-cfg.translate, maxval=cfg.translate)
+    tx, ty = t[:, 0] * w, t[:, 1] * h
+    flip_x = jax.random.uniform(kfx, (B,)) < cfg.fliplr
+    flip_y = jax.random.uniform(kfy, (B,)) < cfg.flipud
+    return s, tx, ty, flip_x, flip_y
+
+
+def spatial_augment(
+    rng: jax.Array,
+    images: jnp.ndarray,
+    gt: jnp.ndarray,
+    mask: jnp.ndarray,
+    cfg: AugmentConfig,
+):
+    """Random centered scale + translate + flips on a (B, H, W, C) batch.
+
+    The warp is axis-aligned, so it separates into one row matrix and one
+    column matrix per image, applied as two batched einsums (MXU work, static
+    shapes). Flips fold into the sampling coordinates — the whole spatial
+    chain costs the same two matmuls. Boxes go through the matching forward
+    affine and are clipped; boxes collapsing under ``min_box_px`` are masked.
+    """
+    B, H, W = images.shape[:3]
+    s, tx, ty, flip_x, flip_y = _sample_affine(rng, B, (H, W), cfg)
+
+    # inverse map (output pixel → source coordinate), flips composed in
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    ys = jnp.arange(H, dtype=jnp.float32)[None, :]  # (1, H)
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :]
+    ys = jnp.where(flip_y[:, None], (H - 1) - ys, ys)
+    xs = jnp.where(flip_x[:, None], (W - 1) - xs, xs)
+    src_y = (ys - cy - ty[:, None]) / s[:, None] + cy  # (B, H)
+    src_x = (xs - cx - tx[:, None]) / s[:, None] + cx  # (B, W)
+
+    r_y = jax.vmap(_warp_matrix, in_axes=(0, None))(src_y, H)  # (B, H, H)
+    r_x = jax.vmap(_warp_matrix, in_axes=(0, None))(src_x, W)  # (B, W, W)
+
+    y = jnp.einsum("bij,bjwc->biwc", r_y, images)
+    out = jnp.einsum("bkw,bhwc->bhkc", r_x, y)
+    # border fill: weight lost to out-of-range taps goes to the 114 constant
+    wy = jnp.sum(r_y, axis=-1)  # (B, H)
+    wx = jnp.sum(r_x, axis=-1)  # (B, W)
+    out = out + (1.0 - wy[:, :, None] * wx[:, None, :])[..., None] * BORDER
+
+    # forward affine on the box corners (then flip, then clip)
+    def fwd(pts_x, pts_y):
+        fx = (pts_x - cx) * s[:, None] + cx + tx[:, None]
+        fy = (pts_y - cy) * s[:, None] + cy + ty[:, None]
+        fx = jnp.where(flip_x[:, None], (W - 1) - fx, fx)
+        fy = jnp.where(flip_y[:, None], (H - 1) - fy, fy)
+        return fx, fy
+
+    x0, y0 = fwd(gt[..., 0], gt[..., 1])
+    x1, y1 = fwd(gt[..., 2], gt[..., 3])
+    gx0, gx1 = jnp.minimum(x0, x1), jnp.maximum(x0, x1)  # flips swap corners
+    gy0, gy1 = jnp.minimum(y0, y1), jnp.maximum(y0, y1)
+    gx0, gx1 = jnp.clip(gx0, 0, W), jnp.clip(gx1, 0, W)
+    gy0, gy1 = jnp.clip(gy0, 0, H), jnp.clip(gy1, 0, H)
+    new_gt = jnp.stack([gx0, gy0, gx1, gy1], axis=-1)
+    alive = (gx1 - gx0 >= cfg.min_box_px) & (gy1 - gy0 >= cfg.min_box_px)
+    return out, new_gt, mask & alive
+
+
+def mosaic_augment(
+    rng: jax.Array,
+    images: jnp.ndarray,
+    gt: jnp.ndarray,
+    cls: jnp.ndarray,
+    mask: jnp.ndarray,
+    p: float,
+):
+    """Fixed-grid 2×2 mosaic with probability ``p`` per image.
+
+    Output gt capacity grows to 4·G (mosaic merges four images' boxes).
+    Random mosaic-center placement is delegated to the affine jitter that
+    runs after this — the composition spans the same distribution with fully
+    static shapes.
+    """
+    B, H, W, C = images.shape
+    G = gt.shape[1]
+    k_pick, k_apply = jax.random.split(rng)
+    partners = jax.random.randint(k_pick, (B, 3), 0, B)
+    use = jax.random.uniform(k_apply, (B,)) < p
+
+    half = resize_bilinear(images, (H // 2, W // 2)).astype(images.dtype)  # (B, H/2, W/2, C)
+    quads = [half, half[partners[:, 0]], half[partners[:, 1]], half[partners[:, 2]]]
+    top = jnp.concatenate([quads[0], quads[1]], axis=2)
+    bottom = jnp.concatenate([quads[2], quads[3]], axis=2)
+    tiled = jnp.concatenate([top, bottom], axis=1)  # (B, H, W, C)
+
+    offs = jnp.asarray([[0.0, 0.0], [W / 2, 0.0], [0.0, H / 2], [W / 2, H / 2]], jnp.float32)
+    src_idx = jnp.concatenate([jnp.arange(B)[:, None], partners], axis=1)  # (B, 4)
+    gt_q = gt[src_idx] * 0.5 + jnp.tile(offs[None, :, None, :], (1, 1, 1, 2))  # (B, 4, G, 4)
+    cls_q = cls[src_idx]
+    mask_q = mask[src_idx]
+
+    mosaic_gt = gt_q.reshape(B, 4 * G, 4)
+    mosaic_cls = cls_q.reshape(B, 4 * G)
+    mosaic_mask = mask_q.reshape(B, 4 * G)
+
+    plain_gt = jnp.concatenate([gt, jnp.zeros((B, 3 * G, 4), gt.dtype)], axis=1)
+    plain_cls = jnp.concatenate([cls, jnp.zeros((B, 3 * G), cls.dtype)], axis=1)
+    plain_mask = jnp.concatenate([mask, jnp.zeros((B, 3 * G), bool)], axis=1)
+
+    images = jnp.where(use[:, None, None, None], tiled, images)
+    gt = jnp.where(use[:, None, None], mosaic_gt, plain_gt)
+    cls = jnp.where(use[:, None], mosaic_cls, plain_cls)
+    mask = jnp.where(use[:, None], mosaic_mask, plain_mask)
+    return images, gt, cls, mask
+
+
+def photometric_augment(rng: jax.Array, images: jnp.ndarray, cfg: AugmentConfig) -> jnp.ndarray:
+    """Brightness/contrast jitter — the grayscale reduction of HSV jitter."""
+    B = images.shape[0]
+    kb, kc = jax.random.split(rng)
+    bright = 1.0 + cfg.brightness * jax.random.uniform(kb, (B,), minval=-1.0, maxval=1.0)
+    contr = 1.0 + cfg.contrast * jax.random.uniform(kc, (B,), minval=-1.0, maxval=1.0)
+    mean = jnp.mean(images, axis=(1, 2, 3), keepdims=True)
+    out = (images - mean) * contr[:, None, None, None] + mean * bright[:, None, None, None]
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def augment_batch(
+    rng: jax.Array,
+    images: jnp.ndarray,
+    gt: jnp.ndarray,
+    cls: jnp.ndarray,
+    mask: jnp.ndarray,
+    cfg: AugmentConfig,
+    mosaic_on: bool = True,
+):
+    """The full augmentation chain for one batch (jit-safe, static shapes).
+
+    Returns (images, gt, cls, mask) with gt capacity 4·G when mosaic is
+    configured (even while ``mosaic_on=False`` during close_mosaic epochs, so
+    the train step keeps one compiled shape).
+    """
+    k_m, k_s, k_p = jax.random.split(rng, 3)
+    if cfg.mosaic > 0:
+        images, gt, cls, mask = mosaic_augment(k_m, images, gt, cls, mask, cfg.mosaic if mosaic_on else 0.0)
+    images, gt, mask = spatial_augment(k_s, images, gt, mask, cfg)
+    images = photometric_augment(k_p, images, cfg)
+    return images, gt, cls, mask
+
+
+# ---------------------------------------------------------------------------
+# validation: decode → general NMS → single-class AP@0.5
+# ---------------------------------------------------------------------------
+
+
+_VAL_NMS_CACHE: dict = {}
+
+
+def _val_nms_fn(model, imgsz, conf, iou, max_det):
+    # cached by configuration — a fresh jit per validation call would pay a
+    # full retrace+compile every epoch
+    key = (repr(model), imgsz, conf, iou, max_det)
+    if key not in _VAL_NMS_CACHE:
+
+        @jax.jit
+        def run(variables, imgs):
+            box_logits, cls_logits = model.apply(variables, imgs, train=False)
+            boxes, scores = decode_predictions(box_logits, cls_logits, imgsz, model.reg_max)
+            top = jnp.max(scores, axis=-1)  # single-class / class-agnostic score
+            return batched_nms(boxes, top, iou, conf, max_det)
+
+        _VAL_NMS_CACHE[key] = run
+    return _VAL_NMS_CACHE[key]
+
+
+def _detections_for_map(model, variables, images, imgsz, conf, iou, max_det, chunk=64):
+    """Device side of validation: decode all anchors, run the general NMS."""
+    run = _val_nms_fn(model, imgsz, conf, iou, max_det)
+    outs = []
+    for s in range(0, images.shape[0], chunk):
+        outs.append(jax.tree.map(np.asarray, run(variables, jnp.asarray(images[s : s + chunk]))))
+    return [np.concatenate(parts, axis=0) for parts in zip(*outs)]
+
+
+def average_precision_50(
+    det_boxes: np.ndarray,
+    det_scores: np.ndarray,
+    det_valid: np.ndarray,
+    gt: np.ndarray,
+    gt_mask: np.ndarray,
+    iou_thr: float = 0.5,
+) -> float:
+    """Single-class AP@``iou_thr`` over a validation set.
+
+    Standard VOC-style continuous AP: detections sorted by score globally,
+    each greedily matched to the best unmatched gt of its image, precision
+    envelope integrated over recall.
+    """
+    n_gt = int(gt_mask.sum())
+    recs = []
+    for b in range(det_boxes.shape[0]):
+        for d in range(det_boxes.shape[1]):
+            if det_valid[b, d]:
+                recs.append((float(det_scores[b, d]), b, det_boxes[b, d]))
+    if not recs or n_gt == 0:
+        return 0.0
+    recs.sort(key=lambda r: -r[0])
+
+    matched: set[tuple[int, int]] = set()
+    tp = np.zeros(len(recs))
+    for i, (_, b, box) in enumerate(recs):
+        best_iou, best_j = 0.0, -1
+        for j in range(gt.shape[1]):
+            if not gt_mask[b, j] or (b, j) in matched:
+                continue
+            g = gt[b, j]
+            ix0, iy0 = max(box[0], g[0]), max(box[1], g[1])
+            ix1, iy1 = min(box[2], g[2]), min(box[3], g[3])
+            inter = max(0.0, ix1 - ix0) * max(0.0, iy1 - iy0)
+            union = (
+                (box[2] - box[0]) * (box[3] - box[1]) + (g[2] - g[0]) * (g[3] - g[1]) - inter
+            )
+            iou = inter / union if union > 0 else 0.0
+            if iou > best_iou:
+                best_iou, best_j = iou, j
+        if best_iou >= iou_thr and best_j >= 0:
+            matched.add((b, best_j))
+            tp[i] = 1.0
+
+    cum_tp = np.cumsum(tp)
+    recall = cum_tp / n_gt
+    precision = cum_tp / (np.arange(len(recs)) + 1)
+    # precision envelope, integrated over recall
+    env = np.maximum.accumulate(precision[::-1])[::-1]
+    r = np.concatenate([[0.0], recall, [recall[-1]]])
+    p = np.concatenate([[env[0]], env, [0.0]])
+    return float(np.trapz(p, r))
+
+
+def evaluate_map50(
+    model: YoloV8,
+    variables: dict,
+    images: np.ndarray,
+    gt: np.ndarray,
+    gt_mask: np.ndarray,
+    imgsz: tuple[int, int],
+    conf: float = 0.001,
+    iou: float = 0.7,
+    max_det: int = 32,
+) -> float:
+    """mAP@0.5 of a detector over a labeled set (single class)."""
+    boxes, scores, valid = _detections_for_map(model, variables, images, imgsz, conf, iou, max_det)
+    return average_precision_50(boxes, scores, valid, np.asarray(gt), np.asarray(gt_mask))
+
+
+# ---------------------------------------------------------------------------
+# the training run
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class EpochResult:
+    epoch: int
+    train_loss: float
+    val_map50: float
+    lr: float
+
+
+class YoloTrainingRun:
+    """Drives the full recipe: compiled epochs, EMA validation, early stop.
+
+    One ``lax.scan`` per epoch over device-resident data; between epochs the
+    host validates the EMA weights, checkpoints best/last, and decides early
+    stopping — mirroring the shape of the reference's delegated trainer while
+    keeping every hot operation on device.
+    """
+
+    def __init__(
+        self,
+        model: YoloV8,
+        variables: dict,
+        imgsz: tuple[int, int],
+        config: RecipeConfig = RecipeConfig(),
+        steps_per_epoch: int | None = None,
+        n_train: int | None = None,
+    ):
+        self.model = model
+        self.config = config
+        self.imgsz = imgsz
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self.ema_params = jax.tree.map(lambda x: x, self.params)
+        if steps_per_epoch is None:
+            if n_train is None:
+                raise ValueError("pass steps_per_epoch or n_train")
+            steps_per_epoch = max(1, -(-n_train // config.batch))
+        self.steps_per_epoch = steps_per_epoch
+
+        total_steps = max(1, config.epochs * steps_per_epoch)
+        warmup = int(round(config.warmup_epochs * steps_per_epoch))
+        self.schedule = optax.warmup_cosine_decay_schedule(
+            init_value=config.lr0 * 0.01,
+            peak_value=config.lr0,
+            warmup_steps=max(1, warmup),
+            decay_steps=total_steps,
+            end_value=config.lr0 * config.lrf,
+        )
+        self.tx = optax.adamw(self.schedule, weight_decay=config.weight_decay)
+        self.opt_state = self.tx.init(self.params)
+        self.step_count = 0
+        self._epoch_fns: dict = {}
+
+    # -- compiled epoch ----------------------------------------------------
+
+    def _epoch_fn(self, mosaic_on: bool, batch_shapes: tuple):
+        key = (mosaic_on, batch_shapes)
+        if key in self._epoch_fns:
+            return self._epoch_fns[key]
+
+        model, imgsz, tx, cfg = self.model, self.imgsz, self.tx, self.config
+        aug = cfg.augment
+
+        @jax.jit
+        def epoch(params, stats, opt_state, ema, step0, rngs, images, gt, cls, mask, order):
+            def train_step(carry, xs):
+                params, stats, opt_state, ema, step = carry
+                rng, idx = xs
+                # gather this step's batch from the device-resident dataset —
+                # only one batch is ever materialized beyond the data itself
+                b_images = jnp.take(images, idx, axis=0)
+                b_gt = jnp.take(gt, idx, axis=0)
+                b_cls = jnp.take(cls, idx, axis=0)
+                b_mask = jnp.take(mask, idx, axis=0)
+                if not aug.identity:
+                    b_images, b_gt, b_cls, b_mask = augment_batch(
+                        rng, b_images, b_gt, b_cls, b_mask, aug, mosaic_on
+                    )
+
+                def loss_fn(p):
+                    (box_l, cls_l), updates = model.apply(
+                        {"params": p, "batch_stats": stats}, b_images, train=True, mutable=["batch_stats"]
+                    )
+                    loss, parts = detection_loss(box_l, cls_l, b_gt, b_cls, b_mask, imgsz, model.reg_max)
+                    return loss, (parts, updates["batch_stats"])
+
+                (loss, (_, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+
+                d = cfg.ema_decay * (1.0 - jnp.exp(-(step + 1.0) / cfg.ema_tau))
+                ema = jax.tree.map(lambda e, p: e * d + p * (1.0 - d), ema, params)
+                return (params, new_stats, opt_state, ema, step + 1.0), loss
+
+            carry, losses = jax.lax.scan(
+                train_step, (params, stats, opt_state, ema, step0), (rngs, order)
+            )
+            return carry, jnp.mean(losses)
+
+        self._epoch_fns[key] = epoch
+        return epoch
+
+    def run_epoch(self, epoch_idx: int, images, gt, cls, mask, rng: np.random.Generator) -> float:
+        """One training epoch over the (device-resident) dataset."""
+        cfg = self.config
+        n = images.shape[0]
+        bs = min(cfg.batch, n)
+        n_batches = self.steps_per_epoch
+        # permutation padded to n_batches*bs by re-drawing (no dropped tail)
+        perm = rng.permutation(n)
+        need = n_batches * bs
+        while len(perm) < need:
+            perm = np.concatenate([perm, rng.permutation(n)])
+        order = jnp.asarray(perm[:need].reshape(n_batches, bs))
+
+        mosaic_on = epoch_idx < cfg.epochs - cfg.close_mosaic
+        epoch = self._epoch_fn(mosaic_on, (bs,))
+        rngs = jax.random.split(jax.random.PRNGKey(cfg.seed * 100_003 + epoch_idx), n_batches)
+
+        (self.params, self.batch_stats, self.opt_state, self.ema_params, step) , mean_loss = epoch(
+            self.params,
+            self.batch_stats,
+            self.opt_state,
+            self.ema_params,
+            jnp.float32(self.step_count),
+            rngs,
+            images,
+            gt,
+            cls,
+            mask,
+            order,
+        )
+        self.step_count += n_batches
+        return float(mean_loss)
+
+    # -- weights -----------------------------------------------------------
+
+    def variables(self, ema: bool = True) -> dict:
+        vs = {"params": self.ema_params if ema else self.params}
+        if self.batch_stats:
+            vs["batch_stats"] = self.batch_stats
+        return vs
+
+    # -- the full loop -----------------------------------------------------
+
+    def fit(
+        self,
+        train_images,
+        train_gt,
+        train_cls,
+        train_mask,
+        val_images=None,
+        val_gt=None,
+        val_mask=None,
+        ckpt_dir: str | None = None,
+        log=print,
+    ) -> list[EpochResult]:
+        """Train with per-epoch validation, best/last checkpoints, early stop.
+
+        Without an explicit val set, ``val_fraction`` of the data is split off
+        (deterministically by seed). Returns the per-epoch history; the best
+        EMA weights end up in ``self.best_variables``.
+        """
+        cfg = self.config
+        if val_images is None:
+            n = train_images.shape[0]
+            idx = np.random.default_rng(cfg.seed).permutation(n)
+            n_val = max(1, int(round(n * cfg.val_fraction))) if n > 4 else 0
+            if n_val:
+                val_idx, tr_idx = idx[:n_val], idx[n_val:]
+                val_images, val_gt, val_mask = (
+                    train_images[val_idx], train_gt[val_idx], train_mask[val_idx],
+                )
+                train_images, train_gt, train_cls, train_mask = (
+                    train_images[tr_idx], train_gt[tr_idx], train_cls[tr_idx], train_mask[tr_idx],
+                )
+
+        d_images = jnp.asarray(train_images)
+        d_gt = jnp.asarray(train_gt)
+        d_cls = jnp.asarray(train_cls)
+        d_mask = jnp.asarray(train_mask)
+
+        rng = np.random.default_rng(cfg.seed)
+        history: list[EpochResult] = []
+        best_map, best_epoch = -1.0, -1
+        self.best_variables = self.variables()
+
+        for e in range(cfg.epochs):
+            loss = self.run_epoch(e, d_images, d_gt, d_cls, d_mask, rng)
+            val_map = (
+                evaluate_map50(
+                    self.model, self.variables(), val_images, val_gt, val_mask, self.imgsz,
+                    conf=cfg.val_conf, iou=cfg.val_iou, max_det=cfg.val_max_det,
+                )
+                if val_images is not None and len(val_images)
+                else float("nan")
+            )
+            lr = float(self.schedule(self.step_count - 1))
+            history.append(EpochResult(e, loss, val_map, lr))
+            log(f"epoch {e}: loss {loss:.4f}  val mAP50 {val_map:.3f}  lr {lr:.2e}")
+
+            improved = np.isnan(val_map) or val_map > best_map
+            if improved:
+                best_map = -1.0 if np.isnan(val_map) else val_map
+                best_epoch = e
+                self.best_variables = jax.tree.map(np.asarray, self.variables())
+                if ckpt_dir:
+                    self._save(os.path.join(ckpt_dir, "best.npz"), self.best_variables)
+            if ckpt_dir:
+                self._save(os.path.join(ckpt_dir, "last.npz"), self.variables())
+            if e - best_epoch >= cfg.patience:
+                log(f"early stop at epoch {e} (no val improvement for {cfg.patience})")
+                break
+        return history
+
+    def _save(self, path: str, variables: dict) -> None:
+        from wtracker_tpu.models.yolov8 import YoloV8Detector
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        YoloV8Detector(model=self.model, variables=variables, imgsz=self.imgsz).save(path)

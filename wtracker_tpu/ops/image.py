@@ -105,6 +105,91 @@ def letterbox(
     return x, (scale, pad_top, pad_left)
 
 
+def make_letterbox_matrices(
+    src_hws: list[tuple[int, int]],
+    canvas_hw: tuple[int, int],
+    imgsz: tuple[int, int],
+    dtype=jnp.float32,
+):
+    """Per-geometry letterbox operators for mixed-size view batches.
+
+    Each source geometry ``(h, w)`` (content living in the top-left of a
+    shared ``canvas_hw`` canvas) gets a row matrix (imgsz_h, canvas_h) and a
+    column matrix (imgsz_w, canvas_w) that perform its ratio-preserving
+    resize + center placement in one pair of matmuls; rows/columns landing in
+    the letterbox padding are zero, and the returned coverage vectors supply
+    the pad-value fill weight (``1 − cov_y ⊗ cov_x``).  The 1/255
+    normalization folds into the row matrices exactly as in
+    :func:`letterbox`, so single-geometry outputs are identical to it.
+
+    Returns ``(mat_y, mat_x, cov_y, cov_x, geoms)`` stacked over geometries,
+    with ``geoms`` the per-geometry ``(scale, pad_top, pad_left)``.
+    """
+    ch, cw = canvas_hw
+    dh, dw = imgsz
+    mat_y, mat_x, cov_y, cov_x, geoms = [], [], [], [], []
+    for sh, sw in src_hws:
+        if sh > ch or sw > cw:
+            raise ValueError(f"source {(sh, sw)} exceeds the canvas {canvas_hw}")
+        scale = min(dh / sh, dw / sw)
+        new_h, new_w = round(sh * scale), round(sw * scale)
+        pad_top = (dh - new_h) // 2
+        pad_left = (dw - new_w) // 2
+
+        my = np.zeros((dh, ch), dtype=np.float32)
+        my[pad_top : pad_top + new_h, :sh] = _interp_matrix(sh, new_h) * np.float32(1.0 / 255.0)
+        mx = np.zeros((dw, cw), dtype=np.float32)
+        mx[pad_left : pad_left + new_w, :sw] = _interp_matrix(sw, new_w)
+
+        cy = np.zeros((dh,), dtype=np.float32)
+        cy[pad_top : pad_top + new_h] = 1.0
+        cx = np.zeros((dw,), dtype=np.float32)
+        cx[pad_left : pad_left + new_w] = 1.0
+
+        mat_y.append(my)
+        mat_x.append(mx)
+        cov_y.append(cy)
+        cov_x.append(cx)
+        geoms.append((scale, pad_top, pad_left))
+    return (
+        jnp.asarray(np.stack(mat_y), dtype=dtype),
+        jnp.asarray(np.stack(mat_x), dtype=dtype),
+        jnp.asarray(np.stack(cov_y)),
+        jnp.asarray(np.stack(cov_x)),
+        geoms,
+    )
+
+
+def letterbox_indexed(
+    views: jnp.ndarray,
+    geom_ids: jnp.ndarray,
+    mat_y: jnp.ndarray,
+    mat_x: jnp.ndarray,
+    cov_y: jnp.ndarray,
+    cov_x: jnp.ndarray,
+    pad_value: float = 114 / 255.0,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Letterbox a batch of canvas views, each by its own geometry's operator.
+
+    Args:
+        views: (B, canvas_h, canvas_w) grayscale views in [0, 255].
+        geom_ids: (B,) index into the matrices from
+            :func:`make_letterbox_matrices`.
+
+    Returns normalized (B, imgsz_h, imgsz_w, 3) in [0, 1], identical per view
+    to :func:`letterbox` on the native-size content.
+    """
+    a_h = jnp.take(mat_y, geom_ids, axis=0)  # (B, dh, ch)
+    a_w = jnp.take(mat_x, geom_ids, axis=0)  # (B, dw, cw)
+    src = views.astype(dtype)
+    y = jnp.einsum("boh,bhw->bow", a_h, src, preferred_element_type=jnp.float32)
+    y = jnp.einsum("bpw,bow->bop", a_w, y.astype(dtype), preferred_element_type=jnp.float32)
+    fill = 1.0 - cov_y[geom_ids][:, :, None] * cov_x[geom_ids][:, None, :]
+    y = y.astype(dtype) + (fill * pad_value).astype(dtype)
+    return jnp.broadcast_to(y[..., None], (*y.shape, 3))
+
+
 def replicate_pad(frame: jnp.ndarray, pad_xy: tuple[int, int]) -> jnp.ndarray:
     """Edge-replicate padding by (pad_x, pad_y) on each side — the world
     padding of the view controller (view_controller.py:52-61), jit-safe."""

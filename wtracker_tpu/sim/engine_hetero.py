@@ -49,6 +49,24 @@ class StreamGeometry(NamedTuple):
     num_frames: np.ndarray  # (S,) int — per-stream experiment length
 
 
+def bucket_by_cycle_shape(timings: list[TimingConfig]) -> list[list[int]]:
+    """Group experiment indices by quantized cycle shape.
+
+    One compiled engine program requires one (imaging, pred, moving) frame
+    schedule; timings that quantize differently cannot share it
+    (:func:`geometry_from_configs` raises).  This is the splitter a mixed
+    sweep uses to run each timing regime as its own compiled group: indices
+    come back in first-seen order, each bucket preserving input order — the
+    reference analogue is simply running each experiment's notebook with its
+    own TimingConfig (wtracker/sim/config.py:46-67).
+    """
+    buckets: dict[tuple, list[int]] = {}
+    for i, t in enumerate(timings):
+        key = (t.imaging_frame_num, t.pred_frame_num, t.moving_frame_num)
+        buckets.setdefault(key, []).append(i)
+    return list(buckets.values())
+
+
 def geometry_from_configs(
     timings: list[TimingConfig], experiments: list[ExperimentConfig]
 ) -> tuple[EngineParams, StreamGeometry]:
@@ -167,6 +185,217 @@ def csv_controller_hetero(
         predict_all=predict_all,
         consts=consts,
         cache_key=("csv_hetero",),
+    )
+
+
+def yolo_mlp_controller_hetero(
+    params: EngineParams,
+    geometry: StreamGeometry,
+    config,
+    scene,
+    gt_trajs: np.ndarray,
+    detector_model,
+    detector_variables: dict,
+    predictor,
+    canvas_hw: tuple[int, int] | None = None,
+) -> CycleController:
+    """Live YOLO+MLP tracking across streams with heterogeneous cameras.
+
+    The reference runs its YoloController on each experiment's own geometry,
+    one notebook execution at a time (yolo_controller.py:49-109 +
+    experiments/exp*/exp_config.json); here the exp0–exp4-style mixed set
+    runs as ONE compiled stream batch:
+
+    * every view renders into a shared max-size canvas, with the worm window
+      clamped to the stream's own camera extent (bit-identical content to a
+      native-size render — :meth:`SyntheticScene.render_view` ``content_wh``);
+    * each stream letterboxes by its own geometry's matmul operator
+      (:func:`~wtracker_tpu.ops.image.letterbox_indexed`), so the detector
+      still sees ONE fixed (B, imgsz, imgsz, 3) batch;
+    * decision/logging math uses per-stream camera sizes, and the platform
+      clamps to per-stream arena bounds (``consts["stream_bounds"]``).
+
+    Args:
+        config: a :class:`~wtracker_tpu.sim.engine_live.LiveLoopConfig`.
+        gt_trajs: (S, F, 2) per-stream ground-truth trajectories.
+        canvas_hw: render canvas override (defaults to the max camera size;
+            pass explicitly to pin shapes across runs for parity tests).
+    """
+    from wtracker_tpu.models.yolov8 import decode_top1
+    from wtracker_tpu.ops.image import letterbox_indexed, make_letterbox_matrices
+
+    S = gt_trajs.shape[0]
+    R = config.ring_size
+    L = params.cycle_n
+    IM, MV = params.imaging_n, params.moving_n
+    io = predictor.io_config
+    input_frames = jnp.asarray(io.input_frames, dtype=jnp.int32)
+    mlp_model = predictor.model
+
+    cam_wh = np.asarray(geometry.cam_size)  # (S, 2) as (w, h)
+    if canvas_hw is None:
+        canvas_hw = (int(cam_wh[:, 1].max()), int(cam_wh[:, 0].max()))
+
+    # unique camera geometries → letterbox operators + per-stream ids
+    unique_hw: list[tuple[int, int]] = []
+    geom_id = np.zeros(S, dtype=np.int32)
+    for i, (w, h) in enumerate(map(tuple, cam_wh)):
+        hw = (int(h), int(w))
+        if hw not in unique_hw:
+            unique_hw.append(hw)
+        geom_id[i] = unique_hw.index(hw)
+    mat_y, mat_x, cov_y, cov_x, geoms = make_letterbox_matrices(
+        unique_hw, canvas_hw, config.imgsz, dtype=detector_model.compute_dtype
+    )
+    scales = jnp.asarray([g[0] for g in geoms], jnp.float32)
+    pads = jnp.asarray([[g[2], g[1]] for g in geoms], jnp.float32)  # (G, 2) xy
+
+    consts = {
+        "det": detector_variables,
+        "mlp": predictor.variables,
+        "mat_y": mat_y,
+        "mat_x": mat_x,
+        "cov_y": cov_y,
+        "cov_x": cov_x,
+        "geom_scale": scales,
+        "geom_pad": pads,
+        "geom_id": jnp.asarray(geom_id),
+        "cam_half": jnp.asarray(cam_wh // 2, dtype=jnp.int32),  # (S, 2)
+        "cam_mid": jnp.asarray(cam_wh, dtype=jnp.float32) / 2,  # (S, 2)
+        "cam_wh": jnp.asarray(cam_wh, dtype=jnp.int32),
+        "stream_bounds": jnp.asarray(geometry.bounds, dtype=jnp.int32),
+    }
+
+    def _render_detect(consts, worm_xy, cam_tls, fidx, gids, per_view):
+        views = scene.render_views(
+            worm_xy, cam_tls.astype(jnp.float32), canvas_hw, fidx, content_whs=per_view
+        )
+        x = letterbox_indexed(
+            views,
+            gids,
+            consts["mat_y"],
+            consts["mat_x"],
+            consts["cov_y"],
+            consts["cov_x"],
+            dtype=detector_model.compute_dtype,
+        )
+        box_logits, cls_logits = detector_model.apply(consts["det"], x, train=False)
+        best_box, best_score = decode_top1(
+            box_logits, cls_logits, config.imgsz, detector_model.reg_max
+        )
+        sc = jnp.take(consts["geom_scale"], gids)[:, None]
+        pd = jnp.take(consts["geom_pad"], gids, axis=0)
+        xy = (best_box[:, :2] - pd) / sc
+        wh = (best_box[:, 2:] - best_box[:, :2]) / sc
+        out = jnp.concatenate([xy, wh], axis=-1)
+        out = jnp.where((best_score >= config.conf)[:, None], out, jnp.nan)
+        return out.at[:, :2].add(cam_tls.astype(out.dtype))
+
+    def detect_flat(consts, worm_xy, cam_tls, fidx, gids, per_view):
+        n = worm_xy.shape[0]
+        k = config.detect_chunks
+        if k <= 1 or n % k:
+            return _render_detect(consts, worm_xy, cam_tls, fidx, gids, per_view)
+        m = n // k
+        out = jax.lax.map(
+            lambda args: _render_detect(consts, *args),
+            (
+                worm_xy.reshape(k, m, 2),
+                cam_tls.reshape(k, m, 2),
+                fidx.reshape(k, m),
+                gids.reshape(k, m),
+                per_view.reshape(k, m, 2),
+            ),
+        )
+        return out.reshape(n, 4)
+
+    def init():
+        return {
+            "ring": jnp.full((S, R, 4), jnp.nan, dtype=jnp.float32),
+            "stash": jnp.full((S, IM, 4), jnp.nan, dtype=jnp.float32),
+            "gt": jnp.asarray(gt_trajs, dtype=jnp.float32),
+        }
+
+    def decide(consts, state, ctx: DecideCtx):
+        gt = state["gt"]
+        idx = ctx.cycle * L + jnp.arange(IM)
+        safe = jnp.clip(idx, 0, gt.shape[1] - 1)
+        worm_xy = gt[:, safe, :].reshape(S * IM, 2)
+
+        cam_tl = ctx.position - consts["cam_half"]  # (S, 2)
+        cam_tls = jnp.repeat(cam_tl, IM, axis=0)
+        fidx = jnp.tile(idx, S)
+        gids = jnp.repeat(consts["geom_id"], IM)
+        per_view = jnp.repeat(consts["cam_wh"], IM, axis=0)
+
+        boxes = detect_flat(consts, worm_xy, cam_tls, fidx, gids, per_view).reshape(S, IM, 4)
+        ring = state["ring"].at[:, idx % R, :].set(boxes)
+
+        kickoff = ctx.cycle * L + IM - params.pred_n
+        f_in = kickoff + input_frames
+        feats_abs = jnp.where((f_in >= 0)[None, :, None], ring[:, f_in % R, :], jnp.nan)
+
+        cam_center = cam_tl.astype(jnp.float32) + consts["cam_mid"]
+        mlp_valid = jnp.isfinite(feats_abs).all(axis=(1, 2))
+
+        rel = feats_abs[:, 0, :2] - cam_center
+        origin = feats_abs[:, 0:1, :2]
+        feats = (feats_abs.at[:, :, :2].add(-origin)).reshape(S, -1)
+        feats = jnp.where(mlp_valid[:, None], feats, 0.0)
+
+        pred = mlp_model.apply(consts["mlp"], feats.astype(jnp.float32), train=False)
+        pred = jnp.clip(pred, -config.max_dist_per_pred, config.max_dist_per_pred)
+        mlp_move = jnp.round(pred[:, :2] + rel)
+
+        last_det = ring[:, kickoff % R, :]
+        det_valid = jnp.isfinite(last_det).all(axis=1)
+        det_center = last_det[:, :2] + last_det[:, 2:] / 2
+        det_move = jnp.round(det_center - cam_center)
+
+        dxdy = jnp.where(
+            mlp_valid[:, None],
+            mlp_move,
+            jnp.where(det_valid[:, None], det_move, jnp.zeros((S, 2))),
+        ).astype(jnp.int32)
+
+        return {"ring": ring, "stash": boxes, "gt": gt}, dxdy
+
+    def predict_all(consts, state, cycle_idx, positions):
+        imaging = state["stash"].astype(jnp.float64)
+        if not config.log_mode:
+            moving = jnp.full((S, MV, 4), jnp.nan, dtype=jnp.float64)
+        else:
+            gt = state["gt"]
+            idx = cycle_idx * L + IM + jnp.arange(MV)
+            safe = jnp.clip(idx, 0, gt.shape[1] - 1)
+            worm_xy = gt[:, safe, :].reshape(S * MV, 2)
+            cam_tls = (positions[:, IM:, :] - consts["cam_half"][:, None, :]).reshape(S * MV, 2)
+            fidx = jnp.tile(idx, S)
+            gids = jnp.repeat(consts["geom_id"], MV)
+            per_view = jnp.repeat(consts["cam_wh"], MV, axis=0)
+            moving = (
+                detect_flat(consts, worm_xy, cam_tls, fidx, gids, per_view)
+                .reshape(S, MV, 4)
+                .astype(jnp.float64)
+            )
+        return jnp.concatenate([imaging, moving], axis=1)
+
+    return CycleController(
+        init=init,
+        decide=decide,
+        predict_all=predict_all,
+        consts=consts,
+        cache_key=(
+            "live-hetero",
+            S,
+            canvas_hw,
+            tuple(map(tuple, cam_wh)),
+            config,
+            scene,
+            repr(detector_model),
+            repr(mlp_model),
+            tuple(io.input_frames),
+        ),
     )
 
 

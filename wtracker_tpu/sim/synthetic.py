@@ -87,6 +87,7 @@ class SyntheticScene:
         cam_tl: jnp.ndarray,
         view_hw: tuple[int, int],
         frame_idx: jnp.ndarray | int = 0,
+        content_wh: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         """Render one camera view, (h, w) float32 in [0, 255].
 
@@ -95,6 +96,11 @@ class SyntheticScene:
             cam_tl: (2,) camera top-left in arena coordinates.
             view_hw: static (h, w) of the view.
             frame_idx: seeds slight per-frame wiggle of the worm shape.
+            content_wh: optional dynamic (w, h) content extent within the
+                view canvas — for mixed-geometry batches where streams with
+                smaller cameras render into a shared max-size canvas, the worm
+                window clamps against the stream's own extent so the content
+                region is bit-identical to a native-size render.
         """
         h, w = view_hw
         ys = jnp.arange(h, dtype=jnp.float32)[:, None] + cam_tl[1]
@@ -102,12 +108,14 @@ class SyntheticScene:
         bg = jnp.broadcast_to(self._texture(xs, ys), (h, w))
 
         win = min(self.worm_window, h, w)
+        clamp_w = w - win if content_wh is None else jnp.maximum(content_wh[0] - win, 0)
+        clamp_h = h - win if content_wh is None else jnp.maximum(content_wh[1] - win, 0)
         # patch top-left in view coords, clamped inside the view; the Gaussian
         # is ≤1e-9·intensity beyond the patch, invisible at image scale
         wx = worm_xy[0] - cam_tl[0].astype(jnp.float32)
         wy = worm_xy[1] - cam_tl[1].astype(jnp.float32)
-        tx = jnp.clip(jnp.round(wx).astype(jnp.int32) - win // 2, 0, w - win)
-        ty = jnp.clip(jnp.round(wy).astype(jnp.int32) - win // 2, 0, h - win)
+        tx = jnp.clip(jnp.round(wx).astype(jnp.int32) - win // 2, 0, clamp_w)
+        ty = jnp.clip(jnp.round(wy).astype(jnp.int32) - win // 2, 0, clamp_h)
 
         pys = (jnp.arange(win, dtype=jnp.float32)[:, None] + ty.astype(jnp.float32)) - wy
         pxs = (jnp.arange(win, dtype=jnp.float32)[None, :] + tx.astype(jnp.float32)) - wx
@@ -124,11 +132,20 @@ class SyntheticScene:
         cam_tls: jnp.ndarray,
         view_hw: tuple[int, int],
         frame_idx: jnp.ndarray,
+        content_whs: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
-        """Batched rendering: (N, 2) worms + (N, 2) cameras → (N, h, w)."""
-        return jax.vmap(lambda wxy, ctl, fi: self.render_view(wxy, ctl, view_hw, fi))(
-            worm_xys, cam_tls, frame_idx
-        )
+        """Batched rendering: (N, 2) worms + (N, 2) cameras → (N, h, w).
+
+        ``content_whs`` (N, 2) optionally gives each view its own content
+        extent inside the shared canvas (mixed-geometry batches).
+        """
+        if content_whs is None:
+            return jax.vmap(lambda wxy, ctl, fi: self.render_view(wxy, ctl, view_hw, fi))(
+                worm_xys, cam_tls, frame_idx
+            )
+        return jax.vmap(
+            lambda wxy, ctl, fi, cwh: self.render_view(wxy, ctl, view_hw, fi, cwh)
+        )(worm_xys, cam_tls, frame_idx, content_whs)
 
     def gt_bboxes(self, worm_xys: jnp.ndarray, k_sigma: float = 2.0) -> jnp.ndarray:
         """Ground-truth xywh boxes implied by the worm blob extent."""
