@@ -1,0 +1,297 @@
+"""The native YOLO training recipe and its accuracy gate.
+
+Covers VERDICT round-2 items 1 and 9:
+
+* unit tests of the on-device augmentation chain (geometry, flips, mosaic)
+  and the AP@0.5 metric;
+* the **detection-accuracy gate**: the full recipe (augmentation, warmup +
+  cosine AdamW, EMA, val mAP, checkpoints) trains a tiny detector on rendered
+  synthetic-scene views, must reach a quantitative val mAP@0.5 bar, and the
+  trained detector must then *track* — the live closed loop's mean bbox_error
+  must land within a stated margin of the CsvController ground-truth-playback
+  baseline on the same scenes (the reference's own quality measures:
+  yolo_train_config.yaml:45-55 validation; eval/error_calculator.py:163-195);
+* multi-worm detection end-to-end through the general NMS
+  (``YoloV8Detector.detect_multi`` — max_det semantics of
+  yolo_controller.py:30).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from wtracker_tpu.models.yolov8 import YoloV8
+from wtracker_tpu.neural.yolo_recipe import (
+    AugmentConfig,
+    RecipeConfig,
+    YoloTrainingRun,
+    augment_batch,
+    average_precision_50,
+    spatial_augment,
+)
+
+
+def _blob_batch(rng, B=8, size=64, G=2):
+    images = rng.uniform(0, 0.2, size=(B, size, size, 3)).astype(np.float32)
+    gt = np.zeros((B, G, 4), np.float32)
+    cls = np.zeros((B, G), np.int32)
+    mask = np.zeros((B, G), bool)
+    for i in range(B):
+        cx, cy = rng.integers(18, size - 18, size=2)
+        w = h = 14
+        images[i, cy - h // 2 : cy + h // 2, cx - w // 2 : cx + w // 2, :] = 1.0
+        gt[i, 0] = (cx - w // 2, cy - h // 2, cx + w // 2, cy + h // 2)
+        mask[i, 0] = True
+    return images, gt, cls, mask
+
+
+def test_spatial_augment_identity():
+    """Zero-strength augmentation must be (numerically) the identity."""
+    rng = np.random.default_rng(0)
+    images, gt, cls, mask = _blob_batch(rng)
+    cfg = AugmentConfig(mosaic=0, fliplr=0, flipud=0, translate=0, scale=0, brightness=0, contrast=0)
+    out, new_gt, new_mask = spatial_augment(
+        jax.random.PRNGKey(0), jnp.asarray(images), jnp.asarray(gt), jnp.asarray(mask), cfg
+    )
+    np.testing.assert_allclose(np.asarray(out), images, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_gt), gt, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(new_mask), mask)
+
+
+def test_spatial_augment_flip_boxes():
+    """Forced fliplr mirrors both the image and the boxes."""
+    rng = np.random.default_rng(1)
+    images, gt, cls, mask = _blob_batch(rng, B=4)
+    cfg = AugmentConfig(mosaic=0, fliplr=1.0, flipud=0, translate=0, scale=0, brightness=0, contrast=0)
+    out, new_gt, new_mask = spatial_augment(
+        jax.random.PRNGKey(0), jnp.asarray(images), jnp.asarray(gt), jnp.asarray(mask), cfg
+    )
+    W = images.shape[2]
+    np.testing.assert_allclose(np.asarray(out), images[:, :, ::-1], atol=1e-5)
+    exp_x0 = (W - 1) - gt[:, 0, 2]
+    exp_x1 = (W - 1) - gt[:, 0, 0]
+    np.testing.assert_allclose(np.asarray(new_gt)[:, 0, 0], exp_x0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(new_gt)[:, 0, 2], exp_x1, atol=1e-4)
+    assert np.asarray(new_mask).sum() == mask.sum()
+
+
+def test_augment_batch_boxes_stay_on_blobs():
+    """Under the full random chain (mosaic+affine+flips+photometric), every
+    surviving gt box must still frame bright blob pixels."""
+    rng = np.random.default_rng(0)
+    images, gt, cls, mask = _blob_batch(rng)
+    ai, ag, ac, am = augment_batch(
+        jax.random.PRNGKey(3),
+        jnp.asarray(images), jnp.asarray(gt), jnp.asarray(cls), jnp.asarray(mask),
+        AugmentConfig(), mosaic_on=True,
+    )
+    ai, ag, am = np.asarray(ai), np.asarray(ag), np.asarray(am)
+    B, G = mask.shape
+    assert ag.shape == (B, 4 * G, 4) and am.shape == (B, 4 * G)
+    checked = 0
+    for i in range(B):
+        for j in range(4 * G):
+            if not am[i, j]:
+                continue
+            x0, y0, x1, y1 = ag[i, j]
+            region = ai[i, int(y0) : int(np.ceil(y1)), int(x0) : int(np.ceil(x1)), 0]
+            assert region.size > 0 and region.mean() > ai[i].mean() + 0.05, (i, j, ag[i, j])
+            checked += 1
+    assert checked >= B  # at least one live box per image
+
+
+def test_average_precision_sanity():
+    rng = np.random.default_rng(0)
+    _, gt, _, mask = _blob_batch(rng)
+    det_boxes = gt[:, :1].copy()
+    det_scores = np.ones((gt.shape[0], 1))
+    det_valid = mask[:, :1].copy()
+    assert average_precision_50(det_boxes, det_scores, det_valid, gt, mask) > 0.99
+    assert average_precision_50(det_boxes + 40, det_scores, det_valid, gt, mask) < 0.2
+    # extra confident false positives must drag precision down
+    fp_boxes = np.concatenate([det_boxes, det_boxes + 45], axis=1)
+    fp_scores = np.concatenate([det_scores * 0.5, det_scores], axis=1)
+    fp_valid = np.concatenate([det_valid, det_valid], axis=1)
+    ap = average_precision_50(fp_boxes, fp_scores, fp_valid, gt, mask)
+    assert 0.2 < ap < 0.9
+
+
+class _CenteringNet(nn.Module):
+    """Linear predictor computing (w/2, h/2) from the feature layout — turns
+    the hybrid controller's MLP branch into exact detection recentering, so
+    the closed-loop gate isolates *detector* quality."""
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        return nn.Dense(2, name="d")(x)
+
+
+def _centering_predictor():
+    from wtracker_tpu.neural.config import IOConfig
+
+    io = IOConfig(input_frames=[0, -2, -4], pred_frames=[3])
+    k = np.zeros((4 * len(io.input_frames), 2), np.float32)
+    k[2, 0] = 0.5  # w of the newest ring entry -> x displacement
+    k[3, 1] = 0.5  # h -> y
+
+    class P:
+        pass
+
+    p = P()
+    p.model = _CenteringNet()
+    p.variables = {"params": {"d": {"kernel": jnp.asarray(k), "bias": jnp.zeros(2, jnp.float32)}}}
+    p.io_config = io
+    return p
+
+
+@pytest.fixture(scope="module")
+def trained_detector():
+    """The full recipe on rendered scene views; shared by the gate tests."""
+    from wtracker_tpu.ops.image import letterbox
+    from wtracker_tpu.sim.synthetic import SyntheticScene
+
+    scene = SyntheticScene()
+    view_hw = (99, 108)  # the live loop's camera at the test timing
+    imgsz = 64
+    rng = np.random.default_rng(0)
+    N = 64
+    worms = np.stack([rng.uniform(60, 540, N), rng.uniform(60, 440, N)], 1)
+    offs = rng.uniform(-30, 30, size=(N, 2))
+    cam_tls = worms - np.array([view_hw[1] / 2, view_hw[0] / 2]) + offs
+    fidx = rng.integers(0, 400, N)
+
+    views = scene.render_views(jnp.asarray(worms), jnp.asarray(cam_tls), view_hw, jnp.asarray(fidx))
+    lb, (scale, pad_top, pad_left) = letterbox(views, (imgsz, imgsz))
+    images = np.asarray(lb, np.float32)
+
+    gtb = np.asarray(scene.gt_bboxes(jnp.asarray(worms)))  # xywh arena coords
+    x0 = (gtb[:, 0] - cam_tls[:, 0]) * scale + pad_left
+    y0 = (gtb[:, 1] - cam_tls[:, 1]) * scale + pad_top
+    gt = np.stack([x0, y0, x0 + gtb[:, 2] * scale, y0 + gtb[:, 3] * scale], 1)[:, None, :].astype(
+        np.float32
+    )
+    cls = np.zeros((N, 1), np.int32)
+    mask = np.ones((N, 1), bool)
+
+    model = YoloV8(nc=1, scale="n")
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, imgsz, imgsz, 3), jnp.float32), train=False)
+    cfg = RecipeConfig(
+        epochs=40, batch=16, lr0=4e-3, warmup_epochs=2.0, close_mosaic=5,
+        val_fraction=0.16, val_max_det=8, patience=40, seed=0,
+        augment=AugmentConfig(),  # full reference-strength augmentation
+    )
+    run = YoloTrainingRun(model, variables, (imgsz, imgsz), cfg, n_train=N - 10)
+    history = run.fit(images, gt, cls, mask, log=lambda s: None)
+    return model, run.best_variables, history, scene
+
+
+def test_recipe_reaches_val_map_bar(trained_detector):
+    """GATE 1: the recipe must produce a measurably good detector
+    (val mAP@0.5), not just a falling loss curve."""
+    _, _, history, _ = trained_detector
+    best = max(h.val_map50 for h in history)
+    assert best >= 0.60, f"best val mAP50 {best:.3f} < 0.60"
+
+
+def test_closed_loop_tracks_within_margin_of_gt_baseline(trained_detector):
+    """GATE 2: the trained detector must close the loop — mean bbox_error of
+    the live YOLO run within +0.08 of the CsvController ground-truth-playback
+    baseline on the same scenes, and the detections themselves must be tight
+    (median center error < 4 px) with a usable hit rate."""
+    from wtracker_tpu.eval.error_calculator import ErrorCalculator
+    from wtracker_tpu.sim.config import ExperimentConfig, TimingConfig
+    from wtracker_tpu.sim.engine import (
+        CycleLog,
+        EngineParams,
+        csv_controller,
+        headless_frame_shape,
+        logs_to_frame,
+        run_engine,
+        run_engine_streams,
+    )
+    from wtracker_tpu.sim.engine_live import LiveLoopConfig, make_stream_batch_flat
+    from wtracker_tpu.sim.synthetic import SyntheticScene, make_trajectory
+
+    from tests.synthetic import EXP_KWARGS, TIMING_KWARGS
+
+    det_model, det_vars, _, scene = trained_detector
+    exp = ExperimentConfig(**EXP_KWARGS)
+    timing = TimingConfig(experiment_config=exp, **TIMING_KWARGS)
+    params = EngineParams.from_timing(timing, headless_frame_shape(timing, exp.orig_resolution))
+    assert (params.cam_h, params.cam_w) == (99, 108)  # must match training views
+
+    S = 2
+    trajs = np.stack([make_trajectory(480, (500, 600), seed=100 + i) for i in range(S)])
+    cfg = LiveLoopConfig(imgsz=(64, 64), conf=0.1, ring_size=32, log_mode=True, max_dist_per_pred=30.0)
+    ctl = make_stream_batch_flat(
+        params, cfg, scene, trajs, det_model, det_vars, _centering_predictor()
+    )
+    n_cycles = params.n_logged_cycles(480)
+    logs = run_engine_streams(params, ctl, np.tile([exp.init_position], (S, 1)), n_cycles,
+                              batched_controller=True)
+
+    raw_boxes = np.asarray(logs.worm_bboxes)  # NaN where no detection
+    hit_rate = np.isfinite(raw_boxes).all(-1).mean()
+    assert hit_rate >= 0.5, f"detection hit rate {hit_rate:.2f}"
+
+    live_err, center_err = [], []
+    for i in range(S):
+        df = logs_to_frame(params, CycleLog(positions=logs.positions[:, i],
+                                            worm_bboxes=logs.worm_bboxes[:, i]))
+        wrm = df[["wrm_x", "wrm_y", "wrm_w", "wrm_h"]].to_numpy(float)
+        mic = df[["mic_x", "mic_y", "mic_w", "mic_h"]].to_numpy(float)
+        live_err.append(np.nanmean(ErrorCalculator.calculate_bbox_error(wrm, mic)))
+
+        boxes = raw_boxes[:, i].reshape(-1, 4)
+        ok = np.isfinite(boxes).all(1)
+        centers = boxes[ok, :2] + boxes[ok, 2:] / 2
+        gt_pos = trajs[i][: len(boxes)][ok]
+        center_err.append(np.median(np.hypot(*(centers - gt_pos).T)))
+
+    base_err = []
+    for i in range(S):
+        table = np.asarray(scene.gt_bboxes(jnp.asarray(trajs[i])))
+        logsc = run_engine(params, csv_controller(table, params), exp.init_position, n_cycles)
+        dfc = logs_to_frame(params, logsc)
+        wrm = dfc[["wrm_x", "wrm_y", "wrm_w", "wrm_h"]].to_numpy(float)
+        mic = dfc[["mic_x", "mic_y", "mic_w", "mic_h"]].to_numpy(float)
+        base_err.append(np.nanmean(ErrorCalculator.calculate_bbox_error(wrm, mic)))
+
+    for i in range(S):
+        assert center_err[i] < 4.0, f"stream {i}: median center error {center_err[i]:.1f} px"
+        assert live_err[i] <= base_err[i] + 0.08, (
+            f"stream {i}: live bbox_error {live_err[i]:.3f} vs baseline {base_err[i]:.3f}"
+        )
+
+
+def test_detect_multi_finds_both_worms(trained_detector):
+    """GATE 3: multi-worm inference through the general NMS — two composited
+    worms in one view must both come back from ``detect_multi``."""
+    from wtracker_tpu.models.yolov8 import YoloV8Detector
+    from wtracker_tpu.sim.synthetic import SyntheticScene
+
+    det_model, det_vars, _, scene = trained_detector
+    # the gate detector trains on single-worm views and scores a secondary
+    # instance lower (~0.06 vs ~0.4); the NMS-path contract under test is
+    # localization + suppression, so the score floor sits below that
+    det = YoloV8Detector(model=det_model, variables=det_vars, imgsz=(64, 64), conf=0.04)
+
+    cam_tl = jnp.asarray([200.0, 200.0])
+    worms = [np.array([230.0, 230.0]), np.array([280.0, 260.0])]
+    views = [
+        np.asarray(scene.render_view(jnp.asarray(w), cam_tl, (99, 108), 7)) for w in worms
+    ]
+    frame = np.maximum(views[0], views[1])[None]  # two worms, one view
+
+    boxes, scores, valid = det.detect_multi(frame, max_det=5, iou=0.5)
+    boxes, valid = np.asarray(boxes)[0], np.asarray(valid)[0]
+    assert valid.sum() >= 2, f"only {valid.sum()} detections"
+
+    for w in worms:
+        expect = w - np.asarray(cam_tl)  # view coords
+        centers = boxes[valid, :2] + boxes[valid, 2:] / 2
+        d = np.hypot(*(centers - expect).T).min()
+        assert d < 6.0, f"worm at {expect} missed (nearest detection {d:.1f} px)"

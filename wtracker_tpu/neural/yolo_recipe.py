@@ -399,7 +399,7 @@ def average_precision_50(
     env = np.maximum.accumulate(precision[::-1])[::-1]
     r = np.concatenate([[0.0], recall, [recall[-1]]])
     p = np.concatenate([[env[0]], env, [0.0]])
-    return float(np.trapz(p, r))
+    return float(np.trapezoid(p, r))
 
 
 def evaluate_map50(
