@@ -24,7 +24,13 @@ def main() -> None:
     ap.add_argument("--imgsz", type=int, default=416)
     ap.add_argument("--conf", type=float, default=0.1)
     ap.add_argument("--chunk-cycles", type=int, default=64)
-    ap.add_argument("--pallas-preproc", action="store_true")
+    ap.add_argument(
+        "--pallas-preproc",
+        action=argparse.BooleanOptionalAction,
+        default=None,
+        help="fused crop+letterbox Pallas kernel (default: auto — on for TPU "
+        "backends with square camera/imgsz; measured 3-16x faster)",
+    )
     args = ap.parse_args()
 
     import numpy as np

@@ -74,27 +74,43 @@ def _make_kernel(cam: int, imgsz: int, win_h: int, win_w: int):
     scale = cam / imgsz
 
     def kernel(idx_ref, tls_ref, frames_ref, out_ref, win_ref, sem):
+        # Double-buffered pipeline: the window for view i+1 is DMAed from HBM
+        # while view i runs its resize matmuls — the round-1 kernel serialized
+        # start→wait→compute per grid step, which left the MXU idle for the
+        # full DMA latency of every view (measured 1.6× slower than the
+        # unfused path; docs/performance.md).  win_ref is (2, win_h, win_w)
+        # and sem (2,): slot i%2 computes while slot (i+1)%2 fills.
         i = pl.program_id(0)
-        fidx = idx_ref[i]
-        tlx = tls_ref[i, 0]
-        tly = tls_ref[i, 1]
+        n = pl.num_programs(0)
 
-        # aligned window start + residual shift
-        tly_a = (tly // _TILE_H) * _TILE_H
-        tlx_a = (tlx // _TILE_W) * _TILE_W
-        dy = tly - tly_a
-        dx = tlx - tlx_a
+        def view_dma(j, slot):
+            tly_a = (tls_ref[j, 1] // _TILE_H) * _TILE_H
+            tlx_a = (tls_ref[j, 0] // _TILE_W) * _TILE_W
+            return pltpu.make_async_copy(
+                frames_ref.at[idx_ref[j], pl.ds(tly_a, win_h), pl.ds(tlx_a, win_w)],
+                win_ref.at[slot],
+                sem.at[slot],
+            )
 
-        dma = pltpu.make_async_copy(
-            frames_ref.at[fidx, pl.ds(tly_a, win_h), pl.ds(tlx_a, win_w)],
-            win_ref,
-            sem,
-        )
-        dma.start()
-        dma.wait()
+        slot = jax.lax.rem(i, 2)
+        next_slot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i == 0)
+        def _first():
+            view_dma(0, slot).start()
+
+        @pl.when(i + 1 < n)
+        def _prefetch():
+            view_dma(i + 1, next_slot).start()
+
+        view_dma(i, slot).wait()
+
+        # residual shift of THIS view's aligned window
+        dy = tls_ref[i, 1] - (tls_ref[i, 1] // _TILE_H) * _TILE_H
+        dx = tls_ref[i, 0] - (tls_ref[i, 0] // _TILE_W) * _TILE_W
 
         # Mosaic has no direct u8->f32 cast; widen through i32 (free on the VPU)
-        x = win_ref[...].astype(jnp.int32).astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+        x = win_ref[slot].astype(jnp.int32).astype(jnp.float32) * jnp.float32(1.0 / 255.0)
         a_h = _shifted_interp(imgsz, cam, win_h, scale, dy)  # (imgsz, win_h)
         a_w = _shifted_interp(imgsz, cam, win_w, scale, dx)  # (imgsz, win_w)
         y = jnp.dot(a_h, x, preferred_element_type=jnp.float32)  # (imgsz, win_w)
@@ -154,8 +170,8 @@ def crop_letterbox_views(
             (1, imgsz, imgsz), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((win_h, win_w), jnp.uint8),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, win_h, win_w), jnp.uint8),  # double-buffered windows
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 

@@ -48,8 +48,13 @@ class LiveLoopConfig:
     """Also detect moving-phase frames so every log row has a worm bbox."""
     max_dist_per_pred: float = 40.0
     """Clip bound on the MLP displacement prediction, in px."""
-    use_pallas_preproc: bool = False
-    """Video path only: fuse crop+resize+normalize into the Pallas kernel."""
+    use_pallas_preproc: bool | None = None
+    """Video path only: fuse crop+resize+normalize into the Pallas kernel
+    (double-buffered DMA pipeline; measured 3-16x faster than the unfused
+    crop+letterbox across 15-1440 view batches, bit-exact — see
+    docs/performance.md round 3). ``None`` (default) = auto: ON whenever the
+    backend is TPU and the camera/imgsz are square; ``True``/``False``
+    force it (True still requires square shapes)."""
     detect_chunks: int = 1
     """Split each cycle's flat render+detect batch into this many sequential
     sub-batches (``lax.map``). ~360 views per sub-batch measures ~8% faster

@@ -66,11 +66,11 @@ def video_live_controller(
     view_hw = (params.cam_h, params.cam_w)
     C, H, W = chunk_shape
 
-    use_pallas = (
-        config.use_pallas_preproc
-        and params.cam_w == params.cam_h
-        and config.imgsz[0] == config.imgsz[1]
-    )
+    square = params.cam_w == params.cam_h and config.imgsz[0] == config.imgsz[1]
+    if config.use_pallas_preproc is None:  # auto: Mosaic needs a real TPU
+        use_pallas = square and jax.default_backend() == "tpu"
+    else:
+        use_pallas = config.use_pallas_preproc and square
 
     # the Pallas kernel DMAs tile-aligned windows: store the chunk pre-padded
     # (chunk_device_hw) so the per-call pad never runs on the hot path

@@ -121,10 +121,22 @@ class SyntheticScene:
         pxs = (jnp.arange(win, dtype=jnp.float32)[None, :] + tx.astype(jnp.float32)) - wx
         dy = jnp.broadcast_to(pys, (win, win))
         dx = jnp.broadcast_to(pxs, (win, win))
-        patch = jax.lax.dynamic_slice(bg, (ty, tx), (win, win)) + self._worm_blob(dx, dy, frame_idx)
+        blob = self._worm_blob(dx, dy, frame_idx)
 
-        view = jax.lax.dynamic_update_slice(bg, patch, (ty, tx))
-        return jnp.clip(view, 0, 255)
+        # Patch placement as two selection matmuls: Py @ blob @ Pxᵀ with 0/1
+        # matrices built from iota comparisons.  A vmapped
+        # dynamic_update_slice lowers to a scatter, which measured ~10× the
+        # cost of the whole rest of the renderer at bench scale (1440 views:
+        # 11.8 ms scatter vs 1.2 ms matmul form — docs/performance.md round
+        # 3); HIGHEST-precision selection is bit-exact (one exact product per
+        # output cell), so this is a pure lowering change.
+        ks = jnp.arange(win, dtype=jnp.int32)[None, :]
+        p_y = (jnp.arange(h, dtype=jnp.int32)[:, None] == ty + ks).astype(jnp.float32)
+        p_x = (jnp.arange(w, dtype=jnp.int32)[:, None] == tx + ks).astype(jnp.float32)
+        placed = jnp.einsum(
+            "hk,kl,wl->hw", p_y, blob, p_x, precision=jax.lax.Precision.HIGHEST
+        )
+        return jnp.clip(bg + placed, 0, 255)
 
     def render_views(
         self,
