@@ -234,21 +234,29 @@ def test_experiment_lifecycle_clis(frames_dir, tmp_path_factory):
     crops = [f for f in os.listdir(tmp / "yolo_data") if f.endswith(".png")]
     assert len(crops) == 12  # one fixed-size sample per requested frame
 
-    # 3. yolo_training on a labeled set (the reference annotates the crops by
-    # hand; here labels come from the generator's known blob positions)
+    # 3. yolo_training with the full recipe on labeled crops OF THE RECORDING
+    # at the tracking geometry (the reference annotates crops by hand; here
+    # labels come from the generator's known blob positions)
     import cv2
 
     os.makedirs(tmp / "train" / "images")
     os.makedirs(tmp / "train" / "labels")
     rng = np.random.default_rng(1)
-    for i in range(10):
-        img = rng.integers(10, 30, size=(64, 64), dtype=np.uint8)
-        x, y = rng.uniform(16, 48, 2)
-        yy, xx = np.mgrid[:64, :64]
-        img = np.clip(img + 180 * np.exp(-(((xx - x) / 4.0) ** 2 + ((yy - y) / 3.0) ** 2)), 0, 255)
-        cv2.imwrite(str(tmp / "train" / "images" / f"s{i:03d}.png"), img.astype(np.uint8))
-        with open(tmp / "train" / "labels" / f"s{i:03d}.txt", "w") as f:
-            f.write(f"0 {x/64:.4f} {y/64:.4f} {16/64:.4f} {12/64:.4f}\n")
+    frames = sorted(os.listdir(frames_dir))
+    n_pos = 150
+    pos = np.stack([60 + 30 * np.sin(np.arange(n_pos) / 18), 70 + 25 * np.cos(np.arange(n_pos) / 23)], 1)
+    for k in range(64):
+        i = int(rng.integers(0, n_pos))
+        frame = cv2.imread(str(frames_dir / frames[i]), cv2.IMREAD_GRAYSCALE)
+        x, y = pos[i]
+        ox, oy = rng.integers(-14, 15, 2)  # jitter the crop placement
+        cx0 = int(np.clip(round(x) - 32 + ox, 0, 160 - 64))
+        cy0 = int(np.clip(round(y) - 32 + oy, 0, 160 - 64))
+        crop = frame[cy0 : cy0 + 64, cx0 : cx0 + 64]
+        cv2.imwrite(str(tmp / "train" / "images" / f"s{k:03d}.png"), crop)
+        bx, by = x - cx0, y - cy0
+        with open(tmp / "train" / "labels" / f"s{k:03d}.txt", "w") as f:
+            f.write(f"0 {bx/64:.4f} {by/64:.4f} {20/64:.4f} {16/64:.4f}\n")
     _run(
         "yolo_training.py",
         "--images", tmp / "train" / "images",
@@ -256,17 +264,23 @@ def test_experiment_lifecycle_clis(frames_dir, tmp_path_factory):
         "--output", tmp / "det.npz",
         "--scale", "n",
         "--imgsz", 64,
-        "--epochs", 2,
-        "--batch", 8,
-        timeout=900,
+        "--epochs", 60,
+        "--batch", 16,
+        "--lr0", 3e-3,
+        "--close-mosaic", 8,
+        "--mosaic", 0.2,
+        "--brightness", 0.2,
+        timeout=1800,
     )
     assert os.path.exists(tmp / "det.npz")
+    assert os.path.exists(tmp / "best.npz") and os.path.exists(tmp / "last.npz")
 
-    # 4. track_video: the live loop over the recording with the trained weights
+    # 4. track_video: the live loop over the recording with the trained
+    # weights, at a 64 px camera so the tracked views match the training crops
     exp_json = next(f for f in os.listdir(tmp / "exp0") if f.endswith("exp_config.json"))
     timing = TimingConfig(
         experiment_config=ExperimentConfig.load_json(str(tmp / "exp0" / exp_json)),
-        **TIMING_KWARGS,
+        **{**TIMING_KWARGS, "camera_size_mm": (64 / 90, 64 / 90)},
     )
     timing.save_json(str(tmp / "timing.json"))
     _run(
@@ -277,9 +291,20 @@ def test_experiment_lifecycle_clis(frames_dir, tmp_path_factory):
         "--detector", tmp / "det.npz",
         "--output", tmp / "track_out",
         "--imgsz", 64,
-        "--conf", 0.0,
+        "--conf", 0.05,
         "--chunk-cycles", 4,
         timeout=900,
     )
     log = pd.read_csv(tmp / "track_out" / "bboxes.csv")
     assert log.shape[1] == 17 and len(log) > 50
+
+    # QUALITY GATE: the tracked worm boxes must actually sit on the blob —
+    # compare detection centers against the generator's ground-truth path
+    # (missing detections are logged as 0.0 rows by the reference's quirk)
+    wrm = log[["wrm_x", "wrm_y", "wrm_w", "wrm_h"]].to_numpy(float)
+    detected = (wrm != 0.0).any(axis=1)
+    assert detected.mean() >= 0.5, f"detection rate {detected.mean():.2f}"
+    centers = wrm[detected, :2] + wrm[detected, 2:] / 2
+    gt = pos[log["frame"].to_numpy(int)[detected]]
+    err = np.hypot(*(centers - gt).T)
+    assert np.median(err) < 6.0, f"median tracking error {np.median(err):.1f} px"
