@@ -57,9 +57,15 @@ class LiveLoopConfig:
     force it (True still requires square shapes)."""
     detect_chunks: int = 1
     """Split each cycle's flat render+detect batch into this many sequential
-    sub-batches (``lax.map``). ~360 views per sub-batch measures ~8% faster
-    end-to-end than one flat S·cycle_n batch (7,415 vs 6,839 img/s detector
-    throughput; 5,531 vs 5,135 steps/s in the loop). 1 = single batch."""
+    sub-batches. ~360 views per sub-batch measures ~8% faster end-to-end than
+    one flat S·cycle_n batch (7,415 vs 6,839 img/s detector throughput;
+    5,531 vs 5,135 steps/s in the loop). 1 = single batch."""
+    detect_unroll: bool = False
+    """Unroll the sub-batch loop in Python instead of ``lax.scan``
+    (``lax.map``). Inside a rolled loop XLA assigns the detector's conv
+    activations batch-minor layouts and inserts fix-up copies (device trace,
+    docs/performance.md round 3); unrolling lets it pick conv-friendly
+    layouts at the cost of a ~``detect_chunks``× larger program to compile."""
 
 
 def hybrid_yolo_mlp_controller(
@@ -188,13 +194,17 @@ def make_stream_batch(
         params, config, scene, gt_trajs[0], detector_model, detector_variables, predictor
     )
     S = gt_trajs.shape[0]
+    # device-resident ONCE at build time: a fresh jnp.asarray inside init()
+    # would re-upload the (S, F, 2) table through the tunnel on every
+    # run_engine_streams call (46 MB ~ 0.5 s/window at bench scale)
+    gt0 = jnp.asarray(gt_trajs, dtype=jnp.float32)
     R = config.ring_size
 
     def init():
         return {
             "ring": jnp.full((S, R, 4), jnp.nan, dtype=jnp.float32),
             "stash": jnp.full((S, params.imaging_n, 4), jnp.nan, dtype=jnp.float32),
-            "gt": jnp.asarray(gt_trajs, dtype=jnp.float32),
+            "gt": gt0,
         }
 
     return CycleController(
@@ -223,6 +233,10 @@ def make_stream_batch_flat(
     at S=24).  Semantics identical to :func:`make_stream_batch`.
     """
     S = gt_trajs.shape[0]
+    # device-resident ONCE at build time: a fresh jnp.asarray inside init()
+    # would re-upload the (S, F, 2) table through the tunnel on every
+    # run_engine_streams call (46 MB ~ 0.5 s/window at bench scale)
+    gt0 = jnp.asarray(gt_trajs, dtype=jnp.float32)
     R = config.ring_size
     L = params.cycle_n
     IM, MV = params.imaging_n, params.moving_n
@@ -247,6 +261,19 @@ def make_stream_batch_flat(
         # sequential sub-batches: per-view math is independent, so results are
         # identical — but each sub-batch's activations fit HBM comfortably
         m = n // k
+        if config.detect_unroll:
+            # python-unrolled: inside a rolled lax.map XLA assigns the conv
+            # activations batch-minor layouts + fix-up copies (trace, round 3)
+            outs = [
+                _render_detect(
+                    consts,
+                    worm_xy_flat[i * m : (i + 1) * m],
+                    cam_tls_flat[i * m : (i + 1) * m],
+                    fidx_flat[i * m : (i + 1) * m],
+                )
+                for i in range(k)
+            ]
+            return jnp.concatenate(outs, axis=0)
         out = jax.lax.map(
             lambda args: _render_detect(consts, *args),
             (worm_xy_flat.reshape(k, m, 2), cam_tls_flat.reshape(k, m, 2), fidx_flat.reshape(k, m)),
@@ -257,7 +284,7 @@ def make_stream_batch_flat(
         return {
             "ring": jnp.full((S, R, 4), jnp.nan, dtype=jnp.float32),
             "stash": jnp.full((S, IM, 4), jnp.nan, dtype=jnp.float32),
-            "gt": jnp.asarray(gt_trajs, dtype=jnp.float32),
+            "gt": gt0,
         }
 
     def decide(consts, state, ctx: DecideCtx):
@@ -351,6 +378,10 @@ def make_stream_batch_fused(
     batch.
     """
     S = gt_trajs.shape[0]
+    # device-resident ONCE at build time: a fresh jnp.asarray inside init()
+    # would re-upload the (S, F, 2) table through the tunnel on every
+    # run_engine_streams call (46 MB ~ 0.5 s/window at bench scale)
+    gt0 = jnp.asarray(gt_trajs, dtype=jnp.float32)
     R = config.ring_size
     L = params.cycle_n
     IM, MV = params.imaging_n, params.moving_n
@@ -375,6 +406,19 @@ def make_stream_batch_fused(
         # sequential sub-batches: per-view math is independent, so results are
         # identical — but each sub-batch's activations fit HBM comfortably
         m = n // k
+        if config.detect_unroll:
+            # python-unrolled: inside a rolled lax.map XLA assigns the conv
+            # activations batch-minor layouts + fix-up copies (trace, round 3)
+            outs = [
+                _render_detect(
+                    consts,
+                    worm_xy_flat[i * m : (i + 1) * m],
+                    cam_tls_flat[i * m : (i + 1) * m],
+                    fidx_flat[i * m : (i + 1) * m],
+                )
+                for i in range(k)
+            ]
+            return jnp.concatenate(outs, axis=0)
         out = jax.lax.map(
             lambda args: _render_detect(consts, *args),
             (worm_xy_flat.reshape(k, m, 2), cam_tls_flat.reshape(k, m, 2), fidx_flat.reshape(k, m)),
@@ -386,7 +430,7 @@ def make_stream_batch_fused(
             "ring": jnp.full((S, R, 4), jnp.nan, dtype=jnp.float32),
             "log_rows": jnp.full((S, L, 4), jnp.nan, dtype=jnp.float32),
             "img_stash": jnp.full((S, IM, 4), jnp.nan, dtype=jnp.float32),
-            "gt": jnp.asarray(gt_trajs, dtype=jnp.float32),
+            "gt": gt0,
         }
 
     def decide(consts, state, ctx: DecideCtx):
