@@ -227,3 +227,17 @@ def test_chunked_detect_equals_single_batch():
     b = np.asarray(logs4.worm_bboxes).reshape(-1, 4)
     row_close = np.all(np.isclose(a, b, atol=1e-4, equal_nan=True), axis=1)
     assert row_close.mean() >= 0.995, f"only {row_close.mean():.3f} of rows match"
+
+    # the python-unrolled chunk loop is the SAME per-chunk computation as the
+    # lax.map form (just a different loop construct), so unlike the k=1 case
+    # above it must match the k=4 run bit-for-bit
+    ctl4u = make_stream_batch_fused(
+        params,
+        LiveLoopConfig(**base, detect_chunks=4, detect_unroll=True),
+        SyntheticScene(), trajs, model, variables, predictor,
+    )
+    logs4u = run_engine_streams(params, ctl4u, init, 4, delayed_log=True)
+    assert np.array_equal(np.asarray(logs4.positions), np.asarray(logs4u.positions))
+    bm, bu = np.asarray(logs4.worm_bboxes), np.asarray(logs4u.worm_bboxes)
+    assert np.array_equal(np.isnan(bm), np.isnan(bu))
+    assert np.array_equal(np.nan_to_num(bm), np.nan_to_num(bu))
