@@ -135,3 +135,81 @@ def test_dp_yolo_train_step(rng):
             losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def _two_blob_batch(rng, B=8, size=64):
+    """Images with TWO well-separated bright blobs + (B, 2, 4) gt boxes."""
+    images = rng.uniform(0, 0.2, size=(B, size, size, 3)).astype(np.float32)
+    gt = np.zeros((B, 2, 4), np.float32)
+    w = h = 12
+    for i in range(B):
+        # one blob per half so the pair never overlaps
+        cx0 = rng.integers(10, size // 2 - 10)
+        cx1 = rng.integers(size // 2 + 10, size - 10)
+        cy0, cy1 = rng.integers(10, size - 10, size=2)
+        for k, (cx, cy) in enumerate(((cx0, cy0), (cx1, cy1))):
+            x0, y0 = int(cx) - w // 2, int(cy) - h // 2
+            images[i, y0 : y0 + h, x0 : x0 + w, :] = 1.0
+            gt[i, k] = (x0, y0, x0 + w, y0 + h)
+    return images, gt, np.zeros((B, 2), np.int32), np.ones((B, 2), bool)
+
+
+def _iou_xywh(a, b):
+    ax0, ay0, ax1, ay1 = a[0], a[1], a[0] + a[2], a[1] + a[3]
+    bx0, by0, bx1, by1 = b[0], b[1], b[0] + b[2], b[1] + b[3]
+    iw = max(0.0, min(ax1, bx1) - max(ax0, bx0))
+    ih = max(0.0, min(ay1, by1) - max(ay0, by0))
+    inter = iw * ih
+    union = a[2] * a[3] + b[2] * b[3] - inter
+    return inter / union if union > 0 else 0.0
+
+
+def test_detect_multi_two_worms(rng):
+    """max_det>1 end-to-end: YoloV8Detector.detect_multi drives ops/nms.py on
+    multi-worm frames and must recover BOTH worms per frame.
+
+    The reference exposes max_det on YoloController's config
+    (yolo_controller.py:30); this pins the native multi-detection
+    counterpart — greedy NMS contract included (descending scores, kept
+    boxes pairwise below the IoU threshold, slot 0 == the top-1 fast path).
+    """
+    from wtracker_tpu.models.yolov8 import YoloV8Detector
+
+    model = YoloV8(nc=1, scale="n")
+    imgsz = (64, 64)
+    variables = model.init(jax.random.PRNGKey(2), jnp.zeros((1, *imgsz, 3), jnp.float32), train=False)
+
+    images, gt, cls, mask = _two_blob_batch(rng, B=8)
+    trainer = YoloTrainer(model, variables, imgsz=imgsz, learning_rate=5e-3)
+    first_loss, _ = trainer.step(images, gt, cls, mask)
+    for _ in range(300):
+        loss, _ = trainer.step(images, gt, cls, mask)
+    assert loss < 0.5 * first_loss, (first_loss, loss)
+
+    det = YoloV8Detector(model=model, variables=trainer.trained_variables, imgsz=imgsz, conf=0.05)
+    frames = jnp.asarray(images[:4, ..., 0] * 255)
+    iou_thr = 0.5
+    boxes, scores, valid = det.detect_multi(frames, max_det=5, iou=iou_thr)
+    boxes, scores, valid = map(np.asarray, (boxes, scores, valid))
+
+    top1 = np.asarray(detect_top1(model, trainer.trained_variables, frames, imgsz, conf=0.05))
+
+    for j in range(4):
+        kept = boxes[j][valid[j]]
+        ks = scores[j][valid[j]]
+        assert len(kept) >= 2, f"frame {j}: only {len(kept)} detections"
+        # greedy contract: scores descend, survivors don't overlap
+        assert (np.diff(ks) <= 1e-6).all(), ks
+        for a in range(len(kept)):
+            for b in range(a + 1, len(kept)):
+                assert _iou_xywh(kept[a], kept[b]) <= iou_thr + 1e-6
+        # slot 0 is the same box the max_det=1 fast path returns
+        np.testing.assert_allclose(kept[0], top1[j], atol=1.0)
+        # both gt worms recovered by the top-2 detections
+        gt_centers = [(g[0] + g[2]) / 2 for g in gt[j]], [(g[1] + g[3]) / 2 for g in gt[j]]
+        gcx, gcy = np.asarray(gt_centers[0]), np.asarray(gt_centers[1])
+        dcx, dcy = kept[:2, 0] + kept[:2, 2] / 2, kept[:2, 1] + kept[:2, 3] / 2
+        # match each gt to its nearest of the two detections
+        for g in range(2):
+            dist = np.hypot(dcx - gcx[g], dcy - gcy[g]).min()
+            assert dist < 8.0, f"frame {j}: gt worm {g} missed by {dist:.1f}px"
