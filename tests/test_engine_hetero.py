@@ -224,6 +224,50 @@ def test_live_hetero_letterbox_matches_homogeneous_path(tracks):
     assert row_close.mean() >= 0.995, f"{row_close.mean():.3f} boxes match"
 
 
+def test_live_hetero_int8_forward(tracks):
+    """The int8 serving path drives the mixed-geometry live loop through the
+    forward_fn hook (decode/unletterbox shared with the bf16 path)."""
+    import jax.numpy as jnp
+
+    from wtracker_tpu.models.yolov8 import YoloV8, fuse_conv_bn
+    from wtracker_tpu.models.yolov8_int8 import quantize_detector
+    from wtracker_tpu.sim.engine import run_engine_streams
+    from wtracker_tpu.sim.engine_hetero import StreamGeometry, yolo_mlp_controller_hetero
+    from wtracker_tpu.sim.engine_live import LiveLoopConfig
+    from wtracker_tpu.sim.synthetic import SyntheticScene, make_trajectory
+
+    exps = [ExperimentConfig(**e) for e in EXPS]
+    timings = [TimingConfig(experiment_config=e, **TIMING) for e in exps]
+    params, geometry = geometry_from_configs(timings, exps)
+
+    scene = SyntheticScene()
+    model, variables, predictor = _tiny_live_models()
+    fused_model = YoloV8(nc=1, scale="n", fused=True)
+    fused_vars = fuse_conv_bn(variables)
+
+    trajs = np.stack(
+        [make_trajectory(300, tuple(geometry.bounds[i][::-1]), seed=30 + i) for i in range(len(exps))]
+    )
+    xy = jnp.asarray(trajs[0, :8], jnp.float32)
+    w0, h0 = int(geometry.cam_size[0, 0]), int(geometry.cam_size[0, 1])
+    bw, bh = int(geometry.bounds[0, 0]), int(geometry.bounds[0, 1])
+    tls = jnp.clip(xy - jnp.array([w0 // 2, h0 // 2]), 0, jnp.array([bw - w0, bh - h0]))
+    calib = np.asarray(scene.render_views(xy, tls.astype(jnp.float32), (h0, w0), jnp.arange(8)))
+    q = quantize_detector(fused_model, fused_vars, calib, (64, 64))
+
+    cfg = LiveLoopConfig(imgsz=(64, 64), conf=0.0, ring_size=32, log_mode=True, max_dist_per_pred=20.0)
+    init = np.stack([np.asarray(e.init_position) for e in exps])
+    ctl = yolo_mlp_controller_hetero(
+        params, geometry, cfg, scene, trajs, fused_model, q.device_weights(), predictor,
+        forward_fn=q.apply,
+    )
+    logs = run_engine_streams(params, ctl, init, 3, batched_controller=True)
+
+    pos = np.asarray(logs.positions)
+    assert pos.shape == (3, len(exps), params.cycle_n, 2) and np.isfinite(pos).all()
+    assert np.isfinite(np.asarray(logs.worm_bboxes)[1:]).any()  # detections flow
+
+
 def test_bucket_by_cycle_shape():
     from wtracker_tpu.sim.engine_hetero import bucket_by_cycle_shape
 

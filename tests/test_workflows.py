@@ -308,3 +308,43 @@ def test_experiment_lifecycle_clis(frames_dir, tmp_path_factory):
     gt = pos[log["frame"].to_numpy(int)[detected]]
     err = np.hypot(*(centers - gt).T)
     assert np.median(err) < 6.0, f"median tracking error {np.median(err):.1f} px"
+
+    # 5. quantize_detector: int8 deployment artifact, calibrated on-policy
+    # from the bf16 run's camera trajectory
+    _run(
+        "quantize_detector.py",
+        "--detector", tmp / "det.npz",
+        "--frames", frames_dir,
+        "--timing-config", tmp / "timing.json",
+        "--exp-config", tmp / "exp0" / exp_json,
+        "--bboxes-csv", tmp / "track_out" / "bboxes.csv",
+        "--calib-frames", 24,
+        "--imgsz", 64,
+        "--output", tmp / "det_int8.npz",
+        timeout=900,
+    )
+    assert os.path.exists(tmp / "det_int8.npz")
+
+    # 6. track_video with the int8 artifact (auto-detected by file content):
+    # the quantized serving path must hold the same tracking-quality bar
+    _run(
+        "track_video.py",
+        "--frames", frames_dir,
+        "--timing-config", tmp / "timing.json",
+        "--exp-config", tmp / "exp0" / exp_json,
+        "--detector", tmp / "det_int8.npz",
+        "--output", tmp / "track_int8",
+        "--imgsz", 64,
+        "--conf", 0.05,
+        "--chunk-cycles", 4,
+        timeout=900,
+    )
+    log8 = pd.read_csv(tmp / "track_int8" / "bboxes.csv")
+    assert log8.shape[1] == 17 and len(log8) > 50
+    wrm8 = log8[["wrm_x", "wrm_y", "wrm_w", "wrm_h"]].to_numpy(float)
+    det8 = (wrm8 != 0.0).any(axis=1)
+    assert det8.mean() >= 0.5, f"int8 detection rate {det8.mean():.2f}"
+    c8 = wrm8[det8, :2] + wrm8[det8, 2:] / 2
+    gt8 = pos[log8["frame"].to_numpy(int)[det8]]
+    err8 = np.hypot(*(c8 - gt8).T)
+    assert np.median(err8) < 8.0, f"int8 median tracking error {np.median(err8):.1f} px"

@@ -1,0 +1,210 @@
+"""int8 detector path: topology parity, quantization quality, API contract.
+
+The int8 forward re-implements the YOLOv8 graph functionally
+(models/yolov8_int8.py); these tests pin it against the Flax model so the two
+cannot drift, and bound the quantization error on structured (rendered-scene)
+inputs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wtracker_tpu.models.yolov8 import YoloV8, YoloV8Detector, detect_top1, fuse_conv_bn
+from wtracker_tpu.models.yolov8_int8 import (
+    QuantizedYolo,
+    detect_top1_int8,
+    forward_bf16_reference,
+    quantize_detector,
+)
+
+IMGSZ = (64, 64)
+
+
+@pytest.fixture(scope="module")
+def fused_nano():
+    raw = YoloV8Detector.init_random(nc=1, scale="n", imgsz=IMGSZ, compute_dtype=jnp.bfloat16, seed=3)
+    model = YoloV8(nc=1, scale="n", compute_dtype=jnp.bfloat16, fused=True)
+    return model, fuse_conv_bn(raw.variables)
+
+
+@pytest.fixture(scope="module")
+def scene_views():
+    """Structured calibration/eval inputs: rendered scene views, not noise."""
+    from wtracker_tpu.sim.synthetic import SyntheticScene, make_trajectory
+
+    scene = SyntheticScene()
+    traj = make_trajectory(64, (160, 160), seed=7)
+    xy = jnp.asarray(traj[:24], jnp.float32)
+    tls = jnp.clip(xy - 32, 0, 160 - 64).astype(jnp.float32)
+    views = scene.render_views(xy, tls, (64, 64), jnp.arange(24))
+    return np.asarray(views, np.float32)  # (24, 64, 64) in [0, 255]
+
+
+def test_walker_matches_flax(fused_nano, scene_views):
+    """The functional bf16 walker must equal the Flax fused apply — this is
+    the guard that keeps the int8 topology in sync with models/yolov8.py."""
+    model, variables = fused_nano
+    x = jnp.asarray(scene_views[:8, ..., None].repeat(3, axis=-1) / 255.0, jnp.bfloat16)
+
+    ref_box, ref_cls = model.apply(variables, x, train=False)
+    got_box, got_cls = forward_bf16_reference(variables, x, nc=1, scale="n")
+
+    for r, g in zip(list(ref_box) + list(ref_cls), list(got_box) + list(got_cls)):
+        r, g = np.asarray(r, np.float32), np.asarray(g, np.float32)
+        scale = max(np.abs(r).max(), 1e-3)
+        assert np.abs(r - g).max() <= 0.05 * scale, f"walker drift: {np.abs(r - g).max()} vs {scale}"
+
+
+def test_int8_logits_track_bf16(fused_nano, scene_views):
+    """Quantization error bound: int8 logits must correlate with bf16 logits
+    and deviate well below the logit spread."""
+    model, variables = fused_nano
+    q = quantize_detector(model, variables, scene_views[:16], IMGSZ)
+    qw = q.device_weights()
+
+    from wtracker_tpu.models.yolov8 import preprocess_batch
+
+    x, _ = preprocess_batch(jnp.asarray(scene_views[16:]), IMGSZ, dtype=jnp.bfloat16)
+    ref_box, ref_cls = model.apply(variables, x, train=False)
+    got_box, got_cls = q.apply(qw, x)
+
+    for r, g in zip(list(ref_box) + list(ref_cls), list(got_box) + list(got_cls)):
+        r, g = np.asarray(r, np.float64).ravel(), np.asarray(g, np.float64).ravel()
+        rmse = np.sqrt(np.mean((r - g) ** 2))
+        spread = r.std()
+        if spread < 1e-3:  # near-constant logit plane: compare absolutely
+            assert np.abs(r - g).max() < 0.3, f"constant-plane drift {np.abs(r - g).max()}"
+            continue
+        corr = np.corrcoef(r, g)[0, 1]
+        assert corr > 0.98, f"corr {corr}"
+        assert rmse < 0.2 * spread, f"rmse {rmse} vs spread {spread}"
+
+
+def test_detect_top1_int8_contract(fused_nano, scene_views):
+    """Same output contract as detect_top1: (B, 4) xywh source pixels with
+    NaN below-conf rows; boxes agree with the bf16 path on most views."""
+    model, variables = fused_nano
+    q = quantize_detector(model, variables, scene_views[:16], IMGSZ)
+    qw = q.device_weights()
+
+    frames = jnp.asarray(scene_views[16:], jnp.float32)
+    ref = np.asarray(detect_top1(model, variables, frames, IMGSZ, conf=0.0))
+    got = np.asarray(detect_top1_int8(q, qw, frames, IMGSZ, conf=0.0))
+
+    assert got.shape == ref.shape == (8, 4)
+    assert np.isfinite(got).all()  # conf=0: every row carries the top-1 box
+
+    # top-1 argmax can legitimately flip between near-equal anchors under
+    # quantization; require center agreement on the majority of views
+    c_ref = ref[:, :2] + ref[:, 2:] / 2
+    c_got = got[:, :2] + got[:, 2:] / 2
+    close = np.hypot(*(c_ref - c_got).T) < 8.0
+    assert close.mean() >= 0.75, f"only {close.mean():.2f} of top-1 centers agree"
+
+
+def test_int8_live_loop_runs(fused_nano):
+    """The int8 detector drives the closed-loop engine through the detect_fn
+    hook: same controller factory, quantized weights in consts."""
+    import numpy as np
+
+    from tests.synthetic import EXP_KWARGS, TIMING_KWARGS
+    from wtracker_tpu.sim.config import ExperimentConfig, TimingConfig
+    from wtracker_tpu.sim.engine import EngineParams, headless_frame_shape, run_engine_streams
+    from wtracker_tpu.sim.engine_live import LiveLoopConfig, make_stream_batch_fused
+    from wtracker_tpu.sim.synthetic import SyntheticScene, make_trajectory
+
+    model, variables = fused_nano
+    exp = ExperimentConfig(**EXP_KWARGS)
+    timing = TimingConfig(experiment_config=exp, **TIMING_KWARGS)
+    params = EngineParams.from_timing(timing, headless_frame_shape(timing, exp.orig_resolution))
+    S = 3
+    trajs = np.stack([make_trajectory(200, (160, 160), seed=i) for i in range(S)])
+
+    scene = SyntheticScene()
+    calib = np.asarray(
+        scene.render_views(
+            jnp.asarray(trajs[0, :8], jnp.float32),
+            jnp.clip(jnp.asarray(trajs[0, :8], jnp.float32) - 32, 0, 160 - 64),
+            (64, 64),
+            jnp.arange(8),
+        )
+    )
+    q = quantize_detector(model, variables, calib, IMGSZ)
+    qw = q.device_weights()
+
+    def detect_int8(m, v, views, imgsz, conf):
+        return detect_top1_int8(q, v, views, imgsz, conf)
+
+    cfg = LiveLoopConfig(imgsz=IMGSZ, conf=0.0, ring_size=32, log_mode=True, max_dist_per_pred=20.0)
+    ctl = make_stream_batch_fused(params, cfg, scene, trajs, model, qw, predictor=_tiny_predictor(), detect_fn=detect_int8)
+    logs = run_engine_streams(params, ctl, np.tile([80, 80], (S, 1)), 4, delayed_log=True)
+
+    pos = np.asarray(logs.positions)
+    assert pos.shape == (4, S, params.cycle_n, 2) and np.isfinite(pos).all()
+    bbs = np.asarray(logs.worm_bboxes)
+    assert np.isfinite(bbs[1:]).any()  # conf=0 => detections flow into the log
+
+
+def _tiny_predictor():
+    from wtracker_tpu.models.resmlp import make_rmlp_predictor
+    from wtracker_tpu.neural.config import IOConfig
+
+    return make_rmlp_predictor(IOConfig([0, -2, -4], [3]))
+
+
+def test_preprocessed_int8_matches_end_to_end(fused_nano, scene_views):
+    """detect_top1_preprocessed_int8 on a manually letterboxed tensor equals
+    detect_top1_int8 on the raw frames (the Pallas-preproc pairing contract)."""
+    from wtracker_tpu.models.yolov8 import preprocess_batch
+    from wtracker_tpu.models.yolov8_int8 import detect_top1_preprocessed_int8
+
+    model, variables = fused_nano
+    q = quantize_detector(model, variables, scene_views[:16], IMGSZ)
+    qw = q.device_weights()
+
+    frames = jnp.asarray(scene_views[16:], jnp.float32)
+    x, (scale, pad_top, pad_left) = preprocess_batch(frames, IMGSZ, dtype=jnp.bfloat16)
+
+    a = np.asarray(detect_top1_int8(q, qw, frames, IMGSZ, 0.0))
+    b = np.asarray(detect_top1_preprocessed_int8(q, qw, x, (scale, pad_top, pad_left), IMGSZ, 0.0))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_make_detect_fns_and_artifact_sniff(fused_nano, scene_views, tmp_path):
+    """make_detect_fns closures honor the engine-hook signatures, and
+    is_quantized_artifact distinguishes int8 artifacts from bf16 weight npzs."""
+    from wtracker_tpu.models.yolov8_int8 import is_quantized_artifact, make_detect_fns
+
+    model, variables = fused_nano
+    q = quantize_detector(model, variables, scene_views[:8], IMGSZ)
+    detect, detect_pre = make_detect_fns(q)
+
+    frames = jnp.asarray(scene_views[8:12], jnp.float32)
+    got = np.asarray(detect(model, q.device_weights(), frames, IMGSZ, 0.0))
+    ref = np.asarray(detect_top1_int8(q, q.device_weights(), frames, IMGSZ, 0.0))
+    assert np.array_equal(got, ref, equal_nan=True)
+
+    q.save(tmp_path / "q.npz")
+    assert is_quantized_artifact(tmp_path / "q.npz")
+    # a bf16 weight file must NOT be sniffed as an int8 artifact
+    raw = YoloV8Detector.init_random(nc=1, scale="n", imgsz=IMGSZ, compute_dtype=jnp.bfloat16, seed=0)
+    raw.save(tmp_path / "w.npz")
+    assert not is_quantized_artifact(tmp_path / "w.npz")
+    assert not is_quantized_artifact(tmp_path / "missing.npz")
+
+
+def test_quantized_artifact_roundtrip(fused_nano, scene_views, tmp_path):
+    """QuantizedYolo survives a save/load roundtrip through its npz artifact."""
+    model, variables = fused_nano
+    q = quantize_detector(model, variables, scene_views[:8], IMGSZ)
+
+    q.save(tmp_path / "det_int8.npz")
+    q2 = QuantizedYolo.load(tmp_path / "det_int8.npz")
+    assert (q2.nc, q2.scale, q2.reg_max) == (q.nc, q.scale, q.reg_max)
+
+    x = jnp.asarray(scene_views[:4], jnp.float32)
+    a = np.asarray(detect_top1_int8(q, q.device_weights(), x, IMGSZ, 0.0))
+    b = np.asarray(detect_top1_int8(q2, q2.device_weights(), x, IMGSZ, 0.0))
+    assert np.array_equal(a, b, equal_nan=True)

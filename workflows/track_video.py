@@ -18,7 +18,12 @@ def main() -> None:
     ap.add_argument("--frames", required=True, help="directory of frame images")
     ap.add_argument("--timing-config", required=True)
     ap.add_argument("--exp-config", required=True)
-    ap.add_argument("--detector", required=True, help="YOLO weights (.npz or ultralytics .pt)")
+    ap.add_argument(
+        "--detector",
+        required=True,
+        help="YOLO weights (.npz or ultralytics .pt), or an int8 deployment "
+        "artifact from quantize_detector.py (auto-detected)",
+    )
     ap.add_argument("--predictor", help="ResMLP checkpoint (.npz/.pt); detection-centering if omitted")
     ap.add_argument("--output", required=True, help="output folder for bboxes.csv")
     ap.add_argument("--imgsz", type=int, default=416)
@@ -47,7 +52,23 @@ def main() -> None:
     exp = ExperimentConfig.load_json(args.exp_config)
 
     reader = FrameReader.create_from_directory(args.frames)
-    det = YoloV8Detector.load(args.detector, imgsz=args.imgsz, conf=args.conf).fuse()
+
+    from wtracker_tpu.models.yolov8_int8 import is_quantized_artifact
+
+    detect_fn = detect_preprocessed_fn = None
+    if args.detector.endswith(".npz") and is_quantized_artifact(args.detector):
+        import jax.numpy as jnp
+
+        from wtracker_tpu.models.yolov8 import YoloV8
+        from wtracker_tpu.models.yolov8_int8 import QuantizedYolo, make_detect_fns
+
+        q = QuantizedYolo.load(args.detector)
+        det_model = YoloV8(nc=q.nc, scale=q.scale, reg_max=q.reg_max, compute_dtype=jnp.bfloat16, fused=True)
+        det_variables = q.device_weights()
+        detect_fn, detect_preprocessed_fn = make_detect_fns(q)
+    else:
+        det = YoloV8Detector.load(args.detector, imgsz=args.imgsz, conf=args.conf).fuse()
+        det_model, det_variables = det.model, det.variables
 
     if args.predictor:
         from wtracker_tpu.models.resmlp import load_predictor, load_torch_checkpoint
@@ -79,11 +100,13 @@ def main() -> None:
         cfg,
         lambda s, n: reader.read_batch(range(s, min(s + n, len(reader)))),
         len(reader),
-        det.model,
-        det.variables,
+        det_model,
+        det_variables,
         predictor,
         exp.init_position,
         cycles_per_chunk=args.chunk_cycles,
+        detect_fn=detect_fn,
+        detect_preprocessed_fn=detect_preprocessed_fn,
     )
 
     df = logs_to_frame(params, logs)

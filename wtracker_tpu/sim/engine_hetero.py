@@ -198,6 +198,7 @@ def yolo_mlp_controller_hetero(
     detector_variables: dict,
     predictor,
     canvas_hw: tuple[int, int] | None = None,
+    forward_fn=None,
 ) -> CycleController:
     """Live YOLO+MLP tracking across streams with heterogeneous cameras.
 
@@ -220,6 +221,10 @@ def yolo_mlp_controller_hetero(
         gt_trajs: (S, F, 2) per-stream ground-truth trajectories.
         canvas_hw: render canvas override (defaults to the max camera size;
             pass explicitly to pin shapes across runs for parity tests).
+        forward_fn: ``(detector_variables, x) -> (box_logits, cls_logits)``
+            override of the detector forward on the letterboxed batch — e.g.
+            ``QuantizedYolo.apply`` for the int8 serving path (decode and
+            per-geometry unletterboxing stay shared).
     """
     from wtracker_tpu.models.yolov8 import decode_top1
     from wtracker_tpu.ops.image import letterbox_indexed, make_letterbox_matrices
@@ -251,6 +256,7 @@ def yolo_mlp_controller_hetero(
     mat_y, mat_x, cov_y, cov_x, geoms = make_letterbox_matrices(
         unique_hw, canvas_hw, config.imgsz, dtype=detector_model.compute_dtype
     )
+    _forward = forward_fn or (lambda v, x: detector_model.apply(v, x, train=False))
     scales = jnp.asarray([g[0] for g in geoms], jnp.float32)
     pads = jnp.asarray([[g[2], g[1]] for g in geoms], jnp.float32)  # (G, 2) xy
 
@@ -283,7 +289,7 @@ def yolo_mlp_controller_hetero(
             consts["cov_x"],
             dtype=detector_model.compute_dtype,
         )
-        box_logits, cls_logits = detector_model.apply(consts["det"], x, train=False)
+        box_logits, cls_logits = _forward(consts["det"], x)
         best_box, best_score = decode_top1(
             box_logits, cls_logits, config.imgsz, detector_model.reg_max
         )
@@ -391,6 +397,7 @@ def yolo_mlp_controller_hetero(
         consts=consts,
         cache_key=(
             "live-hetero",
+            forward_fn,
             S,
             canvas_hw,
             tuple(map(tuple, cam_wh)),

@@ -76,6 +76,7 @@ def hybrid_yolo_mlp_controller(
     detector_model: YoloV8,
     detector_variables: dict,
     predictor,
+    detect_fn=None,
 ) -> CycleController:
     """Build the live controller for one stream (vmap-ready via state).
 
@@ -85,6 +86,7 @@ def hybrid_yolo_mlp_controller(
         predictor: a :class:`~wtracker_tpu.models.resmlp.WormPredictor`; its
             ``input_frames`` offsets select ring entries as features.
     """
+    _detect = detect_fn or detect_top1
     R = config.ring_size
     L = params.cycle_n
     io = predictor.io_config
@@ -100,7 +102,7 @@ def hybrid_yolo_mlp_controller(
 
     def detect_views(consts, worm_xy, cam_tls, frame_idx):
         views = scene.render_views(worm_xy, cam_tls.astype(jnp.float32), view_hw, frame_idx)
-        boxes = detect_top1(detector_model, consts["det"], views, config.imgsz, config.conf)
+        boxes = _detect(detector_model, consts["det"], views, config.imgsz, config.conf)
         # view -> absolute arena coordinates
         return boxes.at[:, :2].add(cam_tls.astype(boxes.dtype))
 
@@ -171,7 +173,7 @@ def hybrid_yolo_mlp_controller(
         decide=decide,
         predict_all=predict_all,
         consts=consts,
-        cache_key=("live", config, scene, repr(detector_model), repr(mlp_model), tuple(io.input_frames)),
+        cache_key=("live", detect_fn, config, scene, repr(detector_model), repr(mlp_model), tuple(io.input_frames)),
     )
 
 
@@ -183,6 +185,7 @@ def make_stream_batch(
     detector_model: YoloV8,
     detector_variables: dict,
     predictor,
+    detect_fn=None,
 ) -> CycleController:
     """Controller whose state carries per-stream trajectories, for
     :func:`~wtracker_tpu.sim.engine.run_engine_streams`.
@@ -191,7 +194,8 @@ def make_stream_batch(
         gt_trajs: (S, F, 2) per-stream ground-truth trajectories.
     """
     base = hybrid_yolo_mlp_controller(
-        params, config, scene, gt_trajs[0], detector_model, detector_variables, predictor
+        params, config, scene, gt_trajs[0], detector_model, detector_variables, predictor,
+        detect_fn=detect_fn,
     )
     S = gt_trajs.shape[0]
     # device-resident ONCE at build time: a fresh jnp.asarray inside init()
@@ -224,6 +228,7 @@ def make_stream_batch_flat(
     detector_model: YoloV8,
     detector_variables: dict,
     predictor,
+    detect_fn=None,
 ) -> CycleController:
     """Batched-controller variant: one flat S·frames detection batch per phase.
 
@@ -237,6 +242,7 @@ def make_stream_batch_flat(
     # would re-upload the (S, F, 2) table through the tunnel on every
     # run_engine_streams call (46 MB ~ 0.5 s/window at bench scale)
     gt0 = jnp.asarray(gt_trajs, dtype=jnp.float32)
+    _detect = detect_fn or detect_top1
     R = config.ring_size
     L = params.cycle_n
     IM, MV = params.imaging_n, params.moving_n
@@ -250,7 +256,7 @@ def make_stream_batch_flat(
 
     def _render_detect(consts, worm_xy, cam_tls, fidx):
         views = scene.render_views(worm_xy, cam_tls.astype(jnp.float32), view_hw, fidx)
-        boxes = detect_top1(detector_model, consts["det"], views, config.imgsz, config.conf)
+        boxes = _detect(detector_model, consts["det"], views, config.imgsz, config.conf)
         return boxes.at[:, :2].add(cam_tls.astype(boxes.dtype))
 
     def detect_flat(consts, worm_xy_flat, cam_tls_flat, fidx_flat):
@@ -353,7 +359,7 @@ def make_stream_batch_flat(
         predict_all=predict_all,
         consts=consts,
         # S is baked into the traced reshapes — it must key the runner
-        cache_key=("live-flat", S, config, scene, repr(detector_model), repr(mlp_model), tuple(io.input_frames)),
+        cache_key=("live-flat", detect_fn, S, config, scene, repr(detector_model), repr(mlp_model), tuple(io.input_frames)),
     )
 
 
@@ -365,6 +371,7 @@ def make_stream_batch_fused(
     detector_model: YoloV8,
     detector_variables: dict,
     predictor,
+    detect_fn=None,
 ) -> CycleController:
     """One detector graph per cycle: moving(C−1) + imaging(C) in a single batch.
 
@@ -382,6 +389,7 @@ def make_stream_batch_fused(
     # would re-upload the (S, F, 2) table through the tunnel on every
     # run_engine_streams call (46 MB ~ 0.5 s/window at bench scale)
     gt0 = jnp.asarray(gt_trajs, dtype=jnp.float32)
+    _detect = detect_fn or detect_top1
     R = config.ring_size
     L = params.cycle_n
     IM, MV = params.imaging_n, params.moving_n
@@ -395,7 +403,7 @@ def make_stream_batch_fused(
 
     def _render_detect(consts, worm_xy, cam_tls, fidx):
         views = scene.render_views(worm_xy, cam_tls.astype(jnp.float32), view_hw, fidx)
-        boxes = detect_top1(detector_model, consts["det"], views, config.imgsz, config.conf)
+        boxes = _detect(detector_model, consts["det"], views, config.imgsz, config.conf)
         return boxes.at[:, :2].add(cam_tls.astype(boxes.dtype))
 
     def detect_flat(consts, worm_xy_flat, cam_tls_flat, fidx_flat):
@@ -506,5 +514,5 @@ def make_stream_batch_fused(
         decide=decide,
         predict_all=predict_all,
         consts=consts,
-        cache_key=("live-fused", S, config, scene, repr(detector_model), repr(mlp_model), tuple(io.input_frames)),
+        cache_key=("live-fused", detect_fn, S, config, scene, repr(detector_model), repr(mlp_model), tuple(io.input_frames)),
     )

@@ -48,12 +48,21 @@ def video_live_controller(
     detector_variables: dict,
     predictor,
     chunk_shape: tuple[int, int, int],
+    detect_fn=None,
+    detect_preprocessed_fn=None,
 ) -> CycleController:
     """Single-stream live controller reading views from a resident frame chunk.
 
     ``consts`` carries ``{"det", "mlp", "frames" (C, H, W) uint8, "frame0"}``;
     swap ``frames``/``frame0`` per chunk via ``controller._replace(consts=...)``
     — shapes stay fixed, so the compiled runner is reused.
+
+    ``detect_fn(model, variables, views, imgsz, conf)`` /
+    ``detect_preprocessed_fn(model, variables, x, geometry, imgsz, conf)``
+    swap the detector implementation (e.g. the int8 serving path,
+    :func:`wtracker_tpu.models.yolov8_int8.make_detect_fns`). When only
+    ``detect_fn`` is given, the fused Pallas preprocessing branch is disabled
+    (it needs the preprocessed-input form).
     """
     R = config.ring_size
     L = params.cycle_n
@@ -66,11 +75,14 @@ def video_live_controller(
     view_hw = (params.cam_h, params.cam_w)
     C, H, W = chunk_shape
 
+    _detect = detect_fn or detect_top1
     square = params.cam_w == params.cam_h and config.imgsz[0] == config.imgsz[1]
     if config.use_pallas_preproc is None:  # auto: Mosaic needs a real TPU
         use_pallas = square and jax.default_backend() == "tpu"
     else:
         use_pallas = config.use_pallas_preproc and square
+    if detect_fn is not None and detect_preprocessed_fn is None:
+        use_pallas = False  # custom detector without a preprocessed-input form
 
     # the Pallas kernel DMAs tile-aligned windows: store the chunk pre-padded
     # (chunk_device_hw) so the per-call pad never runs on the hot path
@@ -106,13 +118,14 @@ def video_live_controller(
                 orig_hw=(H, W),
             )
             geom = letterbox_params(view_hw, config.imgsz)  # (scale, nh, nw, pad_top, pad_left)
-            boxes = detect_top1_preprocessed(
+            _detect_pre = detect_preprocessed_fn or detect_top1_preprocessed
+            boxes = _detect_pre(
                 detector_model, consts["det"], x, (geom[0], geom[3], geom[4]), config.imgsz, config.conf
             )
         else:
             frames = jnp.take(consts["frames"], local, axis=0)  # (N, H, W)
             views = crop_views(frames, tls, view_hw)
-            boxes = detect_top1(detector_model, consts["det"], views, config.imgsz, config.conf)
+            boxes = _detect(detector_model, consts["det"], views, config.imgsz, config.conf)
         return boxes.at[:, :2].add(tls.astype(boxes.dtype))
 
     def init():
@@ -174,7 +187,10 @@ def video_live_controller(
         predict_all=predict_all,
         consts=consts,
         # chunk_shape is baked into the crop indexing — part of the program
-        cache_key=("video", tuple(chunk_shape), config, repr(detector_model), repr(mlp_model), tuple(io.input_frames)),
+        cache_key=(
+            "video", detect_fn, detect_preprocessed_fn, tuple(chunk_shape),
+            config, repr(detector_model), repr(mlp_model), tuple(io.input_frames),
+        ),
     )
 
 
@@ -188,6 +204,8 @@ def run_video_live(
     predictor,
     init_position: tuple[int, int],
     cycles_per_chunk: int = 64,
+    detect_fn=None,
+    detect_preprocessed_fn=None,
 ) -> CycleLog:
     """Run the live loop over a whole recording, chunk by chunk.
 
@@ -198,6 +216,8 @@ def run_video_live(
         num_frames: total frames of the experiment.
         cycles_per_chunk: chunk size in cycles (chunk memory =
             ``cycles_per_chunk · cycle_n · H · W`` bytes).
+        detect_fn / detect_preprocessed_fn: alternate detector implementation
+            (see :func:`video_live_controller`) — e.g. the int8 serving path.
 
     Returns stacked logs over all complete cycles.
     """
@@ -208,7 +228,8 @@ def run_video_live(
     probe = frame_source(0, 1)
     H, W = probe.shape[1:3]
     controller = video_live_controller(
-        params, config, detector_model, detector_variables, predictor, (chunk_frames, H, W)
+        params, config, detector_model, detector_variables, predictor, (chunk_frames, H, W),
+        detect_fn=detect_fn, detect_preprocessed_fn=detect_preprocessed_fn,
     )
 
     carry = init_carry(params, controller, init_position)
