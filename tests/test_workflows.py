@@ -38,7 +38,11 @@ def _run(script, *args, timeout=900):
         capture_output=True,
         text=True,
         timeout=timeout,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        # WTRACKER_TPU_PLATFORM is the reliable pin: the axon TPU plugin
+        # ignores JAX_PLATFORMS and would route every CLI subprocess through
+        # the (wedge-prone) TPU tunnel; the package init honors the config
+        # update (wtracker_tpu/__init__.py).
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "WTRACKER_TPU_PLATFORM": "cpu"},
     )
     assert proc.returncode == 0, f"{script} failed:\n{proc.stderr[-2000:]}"
     return proc
