@@ -205,3 +205,90 @@ def test_letterbox_bf16_close_to_f32(rng):
     assert x16.dtype == jnp.bfloat16
     diff = np.abs(np.asarray(x16, dtype=np.float32) - np.asarray(x32))
     assert diff.max() < 0.02  # a few bf16 ulps at [0, 1] scale
+
+
+def test_folded_stem_equals_standard_detect(rng):
+    """Folded-stem detection (stem conv computed as letterbox matmuls) equals
+    the standard letterbox->conv path in f32, and declines padded geometries.
+
+    The fold is the round-3 fix for the stem conv's pathological TPU layout
+    (docs/performance.md); exactness is what lets engine_live flip it on by
+    default."""
+    import jax
+    import jax.numpy as jnp
+
+    from wtracker_tpu.models.yolov8 import (
+        can_fold_stem,
+        detect_top1,
+        fold_stem_matrices,
+        fuse_conv_bn,
+        make_folded_detect,
+    )
+
+    model = YoloV8(nc=1, scale="n", compute_dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
+    fused_model = YoloV8(nc=1, scale="n", compute_dtype=jnp.float32, fused=True)
+    fused_vars = fuse_conv_bn(variables)
+
+    assert not can_fold_stem(variables)  # unfused: no stem bias to fold
+    assert can_fold_stem(fused_vars)
+    assert fold_stem_matrices((48, 40), (64, 64)) is None  # pads -> decline
+
+    views = jnp.asarray(rng.integers(0, 255, size=(6, 48, 48), dtype=np.uint8))
+    want = detect_top1(fused_model, fused_vars, views, (64, 64), 0.0)
+    detect = make_folded_detect(fused_model, (48, 48), (64, 64))
+    assert detect is not None
+    got = detect(fused_model, fused_vars, views, (64, 64), 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+
+
+def test_engine_live_fold_stem_matches_standard(rng):
+    """The live fused loop with fold_stem on and off produces (near-)identical
+    trajectories — the auto-on default cannot change tracking behavior."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from wtracker_tpu.models.resmlp import make_rmlp_predictor
+    from wtracker_tpu.models.yolov8 import fuse_conv_bn
+    from wtracker_tpu.neural.config import IOConfig
+    from wtracker_tpu.sim.config import ExperimentConfig, TimingConfig
+    from wtracker_tpu.sim.engine import EngineParams, headless_frame_shape, run_engine_streams
+    from wtracker_tpu.sim.engine_live import LiveLoopConfig, make_stream_batch_fused
+    from wtracker_tpu.sim.synthetic import SyntheticScene, make_trajectory
+
+    exp = ExperimentConfig("t", 600, 60, (200, 200), 90, (100, 100))
+    timing = TimingConfig(
+        experiment_config=exp,
+        imaging_time_ms=100.0,
+        pred_time_ms=40.0,
+        moving_time_ms=50.0,
+        camera_size_mm=(48 / 90 * 1000 / 1000, 48 / 90 * 1000 / 1000),
+        micro_size_mm=(0.2, 0.2),
+    )
+    params = EngineParams.from_timing(timing, headless_frame_shape(timing, exp.orig_resolution))
+
+    model = YoloV8(nc=1, scale="n", compute_dtype=jnp.float32, fused=True)
+    raw = YoloV8(nc=1, scale="n", compute_dtype=jnp.float32)
+    variables = fuse_conv_bn(raw.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3), jnp.float32)))
+    predictor = make_rmlp_predictor(IOConfig([0, -3, -6], [3]), seed=2)
+
+    S = 2
+    trajs = np.stack([make_trajectory(600, (200, 200), seed=40 + i) for i in range(S)])
+    scene = SyntheticScene()
+    init_pos = np.tile([100, 100], (S, 1))
+    cfg = LiveLoopConfig(imgsz=(64, 64), conf=0.0, ring_size=32, log_mode=True, max_dist_per_pred=20.0)
+
+    logs = {}
+    for fold in (False, True):
+        c = dataclasses.replace(cfg, fold_stem=fold)
+        ctl = make_stream_batch_fused(params, c, scene, trajs, model, variables, predictor)
+        logs[fold] = run_engine_streams(params, ctl, init_pos, 4, delayed_log=True)
+
+    np.testing.assert_allclose(
+        np.asarray(logs[True].positions), np.asarray(logs[False].positions), atol=0
+    )
+    a, b = np.asarray(logs[True].worm_bboxes), np.asarray(logs[False].worm_bboxes)
+    mask = np.isfinite(a) & np.isfinite(b)
+    assert (np.isfinite(a) == np.isfinite(b)).mean() > 0.999
+    np.testing.assert_allclose(a[mask], b[mask], atol=1e-2)

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from typing import Any, Callable, Sequence
+from typing import Any, Callable, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -217,6 +217,7 @@ class YoloV8(nn.Module):
     reg_max: int = 16
     compute_dtype: Any = jnp.float32
     fused: bool = False
+    external_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -231,8 +232,12 @@ class YoloV8(nn.Module):
         dt = self.compute_dtype
         x = x.astype(dt)
 
-        # backbone
-        x = ConvBN(chn(64), 3, 2, dt, fused=self.fused, name="b0")(x, train)  # /2
+        # backbone.  With ``external_stem`` the caller supplies the b0 output
+        # directly (see :func:`fold_stem` — the stem conv computed as part of
+        # the letterbox matmuls); the unused b0 params in ``variables`` are
+        # ignored by flax.
+        if not self.external_stem:
+            x = ConvBN(chn(64), 3, 2, dt, fused=self.fused, name="b0")(x, train)  # /2
         x = ConvBN(chn(128), 3, 2, dt, fused=self.fused, name="b1")(x, train)  # /4
         x = C2f(chn(128), rep(3), True, dt, fused=self.fused, name="b2")(x, train)
         x = ConvBN(chn(256), 3, 2, dt, fused=self.fused, name="b3")(x, train)  # /8
@@ -456,6 +461,120 @@ def detect_top1(
     wh = (best_box[:, 2:] - best_box[:, :2]) / scale
     out = jnp.concatenate([xy, wh], axis=-1)
     return jnp.where((best_score >= conf)[:, None], out, jnp.nan)
+
+
+# ---------------------------------------------------------------------------
+# folded stem: b0 computed as part of the letterbox matmuls
+# ---------------------------------------------------------------------------
+
+
+class FoldedStem(NamedTuple):
+    """Geometry part of the letterbox + stem-conv fusion (weight-free).
+
+    The round-3 device trace showed the stem conv (3ch input at full imgsz)
+    running at ~1% of MXU peak — 22% of the whole detector — because XLA has
+    no good layout for a 3-channel conv.  For grayscale sources the letterbox
+    is already two constant matmuls ``img = Ah @ V @ Awᵀ`` (ops/image.py), and
+    each of the nine 3×3-stride-2 stem taps is a row/column-shifted variant of
+    the same product, so the stem output is exactly
+
+        z[b, y, x, oc] = Σ_{p,q} Weff[p, q, oc] · (Ah[2y+p-1] @ V[b] @ Aw[2x+q-1]ᵀ)
+
+    — twelve large MXU matmuls plus a (9 → out_ch) projection, never
+    materializing the (B, h, w, 3) letterboxed tensor or running the
+    pathological conv.  ``Weff`` sums the kernel over its 3 (identical,
+    grayscale-broadcast) input channels; the math is exact (f32 maxdiff ~1e-6
+    vs letterbox→conv).  Only the interpolation matrices live here — the
+    weight-derived pieces are computed inside the jitted graph from the
+    ``variables`` argument, so cached engine runners never bake stale weights.
+    """
+
+    by: jnp.ndarray  # (3, h/2, src_h) row matrices, 1/255 normalize folded in
+    bx: jnp.ndarray  # (3, w/2, src_w) column matrices
+    geometry: tuple  # (scale, pad_top, pad_left) of the letterbox
+
+
+def fold_stem_matrices(src_hw: tuple[int, int], imgsz: tuple[int, int], dtype=jnp.bfloat16):
+    """Build the :class:`FoldedStem` interpolation matrices, or ``None``.
+
+    Returns ``None`` when the geometry letterboxes with padding (source and
+    target aspect ratios differ) or the target size is odd — callers fall
+    back to the standard letterbox→conv path.
+    """
+    from wtracker_tpu.ops.image import _interp_matrix
+
+    scale, new_h, new_w, pad_top, pad_left = letterbox_params(src_hw, imgsz)
+    if (new_h, new_w) != tuple(imgsz) or pad_top or pad_left or new_h % 2 or new_w % 2:
+        return None
+
+    def shifted(a: np.ndarray, tap: int, n_out: int) -> np.ndarray:
+        m = np.zeros((n_out, a.shape[1]), np.float32)
+        for i in range(n_out):
+            r = 2 * i + tap - 1  # stride 2, pad 1: tap rows 2i-1 .. 2i+1
+            if 0 <= r < a.shape[0]:
+                m[i] = a[r]
+        return m
+
+    ah = _interp_matrix(src_hw[0], new_h) * np.float32(1.0 / 255.0)
+    aw = _interp_matrix(src_hw[1], new_w)
+    by = jnp.asarray(np.stack([shifted(ah, t, new_h // 2) for t in range(3)]), dtype)
+    bx = jnp.asarray(np.stack([shifted(aw, t, new_w // 2) for t in range(3)]), dtype)
+    return FoldedStem(by, bx, (scale, pad_top, pad_left))
+
+
+def stem_apply(folded: FoldedStem, stem_params: dict, views: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W) grayscale uint8 views → (B, h/2, w/2, out_ch) stem output.
+
+    ``stem_params`` is the BN-fused b0 conv node ``{"kernel", "bias"}`` —
+    traced, so weights flow through jit arguments like every other layer.
+    """
+    if views.ndim == 4:  # tolerate a trailing singleton channel
+        views = views[..., 0]
+    dt = folded.by.dtype
+    weff = stem_params["kernel"].astype(jnp.float32).sum(axis=2).reshape(9, -1).astype(dt)
+    bias = stem_params["bias"].astype(jnp.float32)
+    v = views.astype(dt)
+    u = jnp.einsum("pyh,bhw->pbyw", folded.by, v, preferred_element_type=jnp.float32).astype(dt)
+    t = jnp.einsum("pbyw,qxw->byxpq", u, folded.bx, preferred_element_type=jnp.float32).astype(dt)
+    b, h, w = t.shape[:3]
+    z = jnp.einsum("byxk,ko->byxo", t.reshape(b, h, w, 9), weff,
+                   preferred_element_type=jnp.float32)
+    return _silu((z + bias).astype(dt))
+
+
+def can_fold_stem(variables: dict) -> bool:
+    """BN-fused variables with the standard 3×3×3 stem kernel?"""
+    try:
+        b0 = variables["params"]["b0"]["conv"]
+        return "bias" in b0 and tuple(b0["kernel"].shape[:3]) == (3, 3, 3)
+    except (KeyError, TypeError):
+        return False
+
+
+def make_folded_detect(model: YoloV8, src_hw: tuple[int, int], imgsz: tuple[int, int]):
+    """Engine-hook detect_fn running the folded-stem graph, or ``None``.
+
+    Signature matches the engines' ``detect_fn`` contract
+    ``(model, variables, views, imgsz, conf) -> (B, 4) xywh`` — the model and
+    imgsz arguments are ignored in favor of the folded closure.  Requires
+    BN-fused variables (check with :func:`can_fold_stem`).
+    """
+    folded = fold_stem_matrices(src_hw, imgsz, dtype=model.compute_dtype)
+    if folded is None:
+        return None
+    rest = model.clone(external_stem=True)
+    scale, pad_top, pad_left = folded.geometry
+
+    def detect(_model, variables, views, _imgsz, conf):
+        z = stem_apply(folded, variables["params"]["b0"]["conv"], views)
+        box_logits, cls_logits = rest.apply(variables, z, train=False)
+        best_box, best_score = decode_top1(box_logits, cls_logits, imgsz, rest.reg_max)
+        xy = (best_box[:, :2] - jnp.array([pad_left, pad_top])) / scale
+        wh = (best_box[:, 2:] - best_box[:, :2]) / scale
+        out = jnp.concatenate([xy, wh], axis=-1)
+        return jnp.where((best_score >= conf)[:, None], out, jnp.nan)
+
+    return detect
 
 
 @dataclass

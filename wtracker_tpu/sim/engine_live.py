@@ -30,9 +30,33 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from wtracker_tpu.models.yolov8 import YoloV8, detect_top1
+from wtracker_tpu.models.yolov8 import YoloV8, can_fold_stem, detect_top1, make_folded_detect
 from wtracker_tpu.sim.engine import CycleController, DecideCtx, EngineParams
 from wtracker_tpu.sim.synthetic import SyntheticScene
+
+
+def _resolve_detect(detect_fn, config: LiveLoopConfig, detector_model, detector_variables, view_hw):
+    """Pick the cycle's detect function: explicit hook > folded stem > standard.
+
+    The folded-stem fast path applies only to the built-in bf16 detector
+    (an explicit ``detect_fn`` — e.g. the int8 serving path — handles its own
+    preprocessing).
+    """
+    if detect_fn is not None:
+        return detect_fn
+    if config.fold_stem is False:
+        return detect_top1
+    folded = None
+    if can_fold_stem(detector_variables):
+        folded = make_folded_detect(detector_model, view_hw, config.imgsz)
+    if folded is None:
+        if config.fold_stem:
+            raise ValueError(
+                "fold_stem=True needs BN-fused detector variables and a "
+                f"padding-free letterbox, got camera {view_hw} -> imgsz {config.imgsz}"
+            )
+        return detect_top1
+    return folded
 
 
 @dataclass(frozen=True)
@@ -66,6 +90,15 @@ class LiveLoopConfig:
     activations batch-minor layouts and inserts fix-up copies (device trace,
     docs/performance.md round 3); unrolling lets it pick conv-friendly
     layouts at the cost of a ~``detect_chunks``× larger program to compile."""
+    fold_stem: bool | None = None
+    """Compute the detector's stem conv as part of the letterbox matmuls
+    (:func:`wtracker_tpu.models.yolov8.make_folded_detect`) — the stem's
+    3-channel conv has no good TPU layout and was 22% of the whole cycle in
+    the round-3 device trace. ``None`` (default) = auto: ON whenever the
+    detector variables are BN-fused and the camera→imgsz letterbox has no
+    padding; ``True`` raises if the geometry can't fold; ``False`` forces the
+    standard letterbox→conv path. Exact math (f32 maxdiff ~1e-6), so the
+    default flips on everywhere it applies."""
 
 
 def hybrid_yolo_mlp_controller(
@@ -86,7 +119,7 @@ def hybrid_yolo_mlp_controller(
         predictor: a :class:`~wtracker_tpu.models.resmlp.WormPredictor`; its
             ``input_frames`` offsets select ring entries as features.
     """
-    _detect = detect_fn or detect_top1
+    _detect = _resolve_detect(detect_fn, config, detector_model, detector_variables, (params.cam_h, params.cam_w))
     R = config.ring_size
     L = params.cycle_n
     io = predictor.io_config
@@ -242,7 +275,7 @@ def make_stream_batch_flat(
     # would re-upload the (S, F, 2) table through the tunnel on every
     # run_engine_streams call (46 MB ~ 0.5 s/window at bench scale)
     gt0 = jnp.asarray(gt_trajs, dtype=jnp.float32)
-    _detect = detect_fn or detect_top1
+    _detect = _resolve_detect(detect_fn, config, detector_model, detector_variables, (params.cam_h, params.cam_w))
     R = config.ring_size
     L = params.cycle_n
     IM, MV = params.imaging_n, params.moving_n
@@ -389,7 +422,7 @@ def make_stream_batch_fused(
     # would re-upload the (S, F, 2) table through the tunnel on every
     # run_engine_streams call (46 MB ~ 0.5 s/window at bench scale)
     gt0 = jnp.asarray(gt_trajs, dtype=jnp.float32)
-    _detect = detect_fn or detect_top1
+    _detect = _resolve_detect(detect_fn, config, detector_model, detector_variables, (params.cam_h, params.cam_w))
     R = config.ring_size
     L = params.cycle_n
     IM, MV = params.imaging_n, params.moving_n
