@@ -92,7 +92,13 @@ def main() -> None:
     print(_unavailable("device unavailable: the measurement subprocess hung/died twice (tunnel wedge)"))
 
 
-def _measure() -> None:
+def build_flagship(S: int | None = None, n_cycles: int | None = None, chunks: int | None = None):
+    """Build the flagship closed-loop workload (shared with tools/trace_profile.py).
+
+    Returns a namespace with the engine params/config, initial positions, the
+    steps-per-window count, and ``make_ctl(variant)`` producing the cycle
+    controller for the ``"bf16"`` headline or the ``"int8"`` serving path.
+    """
     os.environ.setdefault("WTRACKER_TPU_NO_X64", "")  # keep x64 default
     # persistent compilation cache: skipping the ~4-minute remote compile
     # halves the bench's exposure to tunnel wedges (measured 8m40s -> 3m58s)
@@ -129,9 +135,8 @@ def _measure() -> None:
     # 24-cycle windows (~5 s each): long enough that the tunnel's fixed
     # per-window cost (dispatch + log fetch) is amortized to <5% — the
     # device-trace-true cycle time is 195 ms (docs/performance.md round 3)
-    S = int(os.environ.get("BENCH_STREAMS", "96"))
-    N_CYCLES = int(os.environ.get("BENCH_CYCLES", "24"))
-    REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
+    S = S or int(os.environ.get("BENCH_STREAMS", "96"))
+    N_CYCLES = n_cycles or int(os.environ.get("BENCH_CYCLES", "24"))
 
     # flagship models: YOLOv8s @416 bf16 (BN-fused inference form) + the
     # reference's shipped ResMLP.  Detector weights are random because the
@@ -158,7 +163,7 @@ def _measure() -> None:
     # large flat batches thrash HBM (measured 38.3k img/s at B=360 vs 12.7k
     # at B=1440, docs/performance.md)
     n_views = S * params.cycle_n
-    chunks = int(os.environ.get("BENCH_CHUNKS", "0")) or max(1, round(n_views / 360))
+    chunks = chunks or int(os.environ.get("BENCH_CHUNKS", "0")) or max(1, round(n_views / 360))
     while n_views % chunks:
         chunks -= 1
     cfg = LiveLoopConfig(
@@ -173,22 +178,64 @@ def _measure() -> None:
     init_pos = np.tile([700, 700], (S, 1))
     steps = S * N_CYCLES * params.cycle_n
 
+    def make_ctl(variant: str = "bf16"):
+        if variant == "bf16":
+            return make_stream_batch_fused(params, cfg, scene, trajs, det_model, det_vars, predictor)
+        if variant == "int8":
+            from wtracker_tpu.models.yolov8_int8 import make_detect_fns, quantize_detector
+
+            traj = trajs[0]
+            xy = traj[:32].astype(np.float32)
+            tls = np.clip(xy - 180, 0, [arena[1] - 360, arena[0] - 360]).astype(np.float32)
+            calib = np.asarray(
+                scene.render_views(jnp.asarray(xy), jnp.asarray(tls), (360, 360), jnp.arange(32))
+            )
+            q = quantize_detector(det_model, det_vars, calib, (416, 416))
+            qw = q.device_weights()
+
+            # folded-stem int8 serving path (stem as letterbox matmuls) — the
+            # 360->416 bench geometry letterboxes without padding, so this is
+            # exactly what track_video.py deploys
+            detect_int8, _ = make_detect_fns(q, src_hw=(params.cam_h, params.cam_w), imgsz=(416, 416))
+            return make_stream_batch_fused(
+                params, cfg, scene, trajs, det_model, qw, predictor, detect_fn=detect_int8
+            )
+        raise ValueError(f"unknown variant {variant!r}")
+
+    import types
+
+    return types.SimpleNamespace(
+        params=params,
+        cfg=cfg,
+        init_pos=init_pos,
+        n_cycles=N_CYCLES,
+        steps=steps,
+        make_ctl=make_ctl,
+        run=lambda ctl: run_engine_streams(params, ctl, init_pos, N_CYCLES, delayed_log=True),
+    )
+
+
+def _measure() -> None:
+    import jax.numpy as jnp
+
+    ctx = build_flagship()
+    REPEATS = int(os.environ.get("BENCH_REPEATS", "5"))
+
     def measure(ctl):
         # warmup (compile) — fetch a value to force full execution, then the
         # fastest sustained window of REPEATS (the tunnel adds latency jitter
         # per dispatch; each window is N_CYCLES full cycles of work)
-        logs = run_engine_streams(params, ctl, init_pos, N_CYCLES, delayed_log=True)
+        logs = ctx.run(ctl)
         _ = float(jnp.sum(logs.positions))
         dts = []
         for _ in range(REPEATS):
             t0 = time.perf_counter()
-            logs = run_engine_streams(params, ctl, init_pos, N_CYCLES, delayed_log=True)
+            logs = ctx.run(ctl)
             _ = float(jnp.sum(logs.positions))  # forced device fetch per repeat
             dts.append(time.perf_counter() - t0)
-        return steps / min(dts), steps / (sum(dts) / len(dts))
+        return ctx.steps / min(dts), ctx.steps / (sum(dts) / len(dts))
 
-    ctl = make_stream_batch_fused(params, cfg, scene, trajs, det_model, det_vars, predictor)
-    steps_per_sec, mean_steps_per_sec = measure(ctl)
+    steps_per_sec, mean_steps_per_sec = measure(ctx.make_ctl("bf16"))
 
     result = {
         "metric": "closed-loop sim steps/sec/chip (YOLOv8s@416+ResMLP, every frame detected)",
@@ -204,24 +251,7 @@ def _measure() -> None:
     # top-1 drift vs bf16 on rendered views — models/yolov8_int8.py): reported
     # alongside the bf16 headline. BENCH_INT8=0 skips it.
     if os.environ.get("BENCH_INT8", "1") != "0":
-        from wtracker_tpu.models.yolov8_int8 import detect_top1_int8, quantize_detector
-
-        traj = trajs[0]
-        xy = traj[:32].astype(np.float32)
-        tls = np.clip(xy - 180, 0, [arena[1] - 360, arena[0] - 360]).astype(np.float32)
-        calib = np.asarray(
-            scene.render_views(jnp.asarray(xy), jnp.asarray(tls), (360, 360), jnp.arange(32))
-        )
-        q = quantize_detector(det_model, det_vars, calib, (416, 416))
-        qw = q.device_weights()
-
-        def detect_int8(model, variables, views, imgsz, conf):
-            return detect_top1_int8(q, variables, views, imgsz, conf)
-
-        ctl8 = make_stream_batch_fused(
-            params, cfg, scene, trajs, det_model, qw, predictor, detect_fn=detect_int8
-        )
-        v8, m8 = measure(ctl8)
+        v8, m8 = measure(ctx.make_ctl("int8"))
         result["int8"] = {"value": round(v8, 1), "mean": round(m8, 1),
                           "vs_baseline": round(v8 / 5000.0, 3)}
 

@@ -195,6 +195,34 @@ def test_make_detect_fns_and_artifact_sniff(fused_nano, scene_views, tmp_path):
     assert not is_quantized_artifact(tmp_path / "missing.npz")
 
 
+def test_int8_folded_stem_matches_standard(fused_nano, scene_views):
+    """The folded-stem int8 path (stem as letterbox matmuls, int8 graph from
+    b1) agrees with the standard preprocess→int8 path: only b0's rounding
+    differs (the fold computes the stem exactly in bf16 instead of through
+    the input quantizer), so top-1 boxes must match almost everywhere."""
+    from wtracker_tpu.models.yolov8_int8 import make_detect_fns
+
+    model, variables = fused_nano
+    q = quantize_detector(model, variables, scene_views[:16], IMGSZ)
+    qw = q.device_weights()
+
+    detect_folded, _ = make_detect_fns(q, src_hw=(64, 64), imgsz=IMGSZ)
+    assert getattr(detect_folded, "folds_preproc", False)
+    # non-foldable geometry (letterbox pads) falls back to the standard path
+    detect_plain, _ = make_detect_fns(q, src_hw=(48, 64), imgsz=IMGSZ)
+    assert not getattr(detect_plain, "folds_preproc", False)
+
+    frames = jnp.asarray(scene_views[8:], jnp.float32)
+    ref = np.asarray(detect_top1_int8(q, qw, frames, IMGSZ, 0.0))
+    got = np.asarray(detect_folded(model, qw, frames, IMGSZ, 0.0))
+
+    assert got.shape == ref.shape and np.isfinite(got).all()
+    c_ref = ref[:, :2] + ref[:, 2:] / 2
+    c_got = got[:, :2] + got[:, 2:] / 2
+    close = np.hypot(*(c_ref - c_got).T) < 4.0
+    assert close.mean() >= 0.85, f"only {close.mean():.2f} of top-1 centers agree"
+
+
 def test_quantized_artifact_roundtrip(fused_nano, scene_views, tmp_path):
     """QuantizedYolo survives a save/load roundtrip through its npz artifact."""
     model, variables = fused_nano

@@ -65,7 +65,10 @@ def main() -> None:
         q = QuantizedYolo.load(args.detector)
         det_model = YoloV8(nc=q.nc, scale=q.scale, reg_max=q.reg_max, compute_dtype=jnp.bfloat16, fused=True)
         det_variables = q.device_weights()
-        detect_fn, detect_preprocessed_fn = make_detect_fns(q)
+        cam_hw = (timing.camera_size_px[1], timing.camera_size_px[0])
+        detect_fn, detect_preprocessed_fn = make_detect_fns(
+            q, src_hw=cam_hw, imgsz=(args.imgsz, args.imgsz)
+        )
     else:
         det = YoloV8Detector.load(args.detector, imgsz=args.imgsz, conf=args.conf).fuse()
         det_model, det_variables = det.model, det.variables

@@ -522,24 +522,32 @@ def fold_stem_matrices(src_hw: tuple[int, int], imgsz: tuple[int, int], dtype=jn
     return FoldedStem(by, bx, (scale, pad_top, pad_left))
 
 
+def stem_apply_weff(folded: FoldedStem, weff, bias, views: jnp.ndarray) -> jnp.ndarray:
+    """Folded-stem matmul chain on a channel-summed (9, out_ch) kernel.
+
+    Lower-level entry shared with the int8 serving path (which derives its
+    ``weff`` from the quantized kernel + scales instead of bf16 weights).
+    """
+    if views.ndim == 4:  # tolerate a trailing singleton channel
+        views = views[..., 0]
+    dt = folded.by.dtype
+    v = views.astype(dt)
+    u = jnp.einsum("pyh,bhw->pbyw", folded.by, v, preferred_element_type=jnp.float32).astype(dt)
+    t = jnp.einsum("pbyw,qxw->byxpq", u, folded.bx, preferred_element_type=jnp.float32).astype(dt)
+    b, h, w = t.shape[:3]
+    z = jnp.einsum("byxk,ko->byxo", t.reshape(b, h, w, 9), weff.astype(dt),
+                   preferred_element_type=jnp.float32)
+    return _silu((z + bias.astype(jnp.float32)).astype(dt))
+
+
 def stem_apply(folded: FoldedStem, stem_params: dict, views: jnp.ndarray) -> jnp.ndarray:
     """(B, H, W) grayscale uint8 views → (B, h/2, w/2, out_ch) stem output.
 
     ``stem_params`` is the BN-fused b0 conv node ``{"kernel", "bias"}`` —
     traced, so weights flow through jit arguments like every other layer.
     """
-    if views.ndim == 4:  # tolerate a trailing singleton channel
-        views = views[..., 0]
-    dt = folded.by.dtype
-    weff = stem_params["kernel"].astype(jnp.float32).sum(axis=2).reshape(9, -1).astype(dt)
-    bias = stem_params["bias"].astype(jnp.float32)
-    v = views.astype(dt)
-    u = jnp.einsum("pyh,bhw->pbyw", folded.by, v, preferred_element_type=jnp.float32).astype(dt)
-    t = jnp.einsum("pbyw,qxw->byxpq", u, folded.bx, preferred_element_type=jnp.float32).astype(dt)
-    b, h, w = t.shape[:3]
-    z = jnp.einsum("byxk,ko->byxo", t.reshape(b, h, w, 9), weff,
-                   preferred_element_type=jnp.float32)
-    return _silu((z + bias).astype(dt))
+    weff = stem_params["kernel"].astype(jnp.float32).sum(axis=2).reshape(9, -1)
+    return stem_apply_weff(folded, weff, stem_params["bias"], views)
 
 
 def can_fold_stem(variables: dict) -> bool:
@@ -574,6 +582,7 @@ def make_folded_detect(model: YoloV8, src_hw: tuple[int, int], imgsz: tuple[int,
         out = jnp.concatenate([xy, wh], axis=-1)
         return jnp.where((best_score >= conf)[:, None], out, jnp.nan)
 
+    detect.folds_preproc = True  # engines route raw views here, not the Pallas branch
     return detect
 
 

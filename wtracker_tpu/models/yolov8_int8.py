@@ -300,12 +300,19 @@ def _sppf(ops, name, x, out_ch):
 
 
 def _forward(ops, x, nc: int, scale: str):
+    x = ops.input(x)
+    x = ops.convbn("b0", x, 2)
+    return _forward_from_b0(ops, x, nc, scale)
+
+
+def _forward_from_b0(ops, x, nc: int, scale: str):
+    """The graph after the stem — shared with the folded-stem serving entry
+    (:meth:`QuantizedYolo.apply_folded`), which computes b0 as letterbox
+    matmuls (:func:`wtracker_tpu.models.yolov8.stem_apply_weff`)."""
     depth, width, max_ch = SCALES[scale]
     chn = lambda c: _make_divisible(min(c, max_ch) * width)
     rep = lambda n: max(round(n * depth), 1)
 
-    x = ops.input(x)
-    x = ops.convbn("b0", x, 2)
     x = ops.convbn("b1", x, 2)
     x = _c2f(ops, "b2", x, chn(128), rep(3), True)
     x = ops.convbn("b3", x, 2)
@@ -365,12 +372,41 @@ class QuantizedYolo:
     def apply(self, qw: dict, x) -> tuple[list, list]:
         """int8 forward; ``x`` is the preprocessed (B, H, W, 3) batch in
         [0, 1] (any float dtype), ``qw`` = :meth:`device_weights` output."""
+        ops = self._apply_ops(qw)
+        # grayscale broadcast: all 3 channels are identical, quantize once
+        return _forward(ops, x.astype(jnp.bfloat16), self.nc, self.scale)
+
+    def apply_folded(self, qw: dict, views, folded) -> tuple[list, list]:
+        """int8 forward on raw grayscale views with the stem computed as
+        letterbox matmuls (the 3-channel stem conv has no good TPU layout —
+        see :class:`wtracker_tpu.models.yolov8.FoldedStem`).
+
+        The channel-summed bf16 stem kernel is reconstructed in-graph from
+        the quantized b0 node (``W = wq·sw / s_in``; ``s_in`` is the
+        calibrated input scale the build phase folded in), the bf16 stem
+        output is requantized at b0's calibrated activation scale, and the
+        int8 graph continues from b1 — downstream scales are untouched.
+        """
+        from wtracker_tpu.models.yolov8 import stem_apply_weff
+
+        ops = self._apply_ops(qw)
+        s_in = max(self.absmax["__input__"], 1e-6) / 127.0
+        b0 = qw["b0"]
+        weff = (
+            b0["w"].astype(jnp.float32).sum(axis=2).reshape(9, -1)
+            * b0["sw"][None, :]
+            / np.float32(s_in)
+        )
+        z = stem_apply_weff(folded, weff, b0["b"], views)
+        s_b0 = ops._scale_of("b0")
+        xq = _QT(_quant(z, s_b0), np.full(z.shape[-1], s_b0))
+        return _forward_from_b0(ops, xq, self.nc, self.scale)
+
+    def _apply_ops(self, qw: dict) -> "_ApplyOps":
         build = _BuildOps.__new__(_BuildOps)
         build.absmax = self.absmax
         build.qweights = self.qweights
-        ops = _ApplyOps(qw, build)
-        # grayscale broadcast: all 3 channels are identical, quantize once
-        return _forward(ops, x.astype(jnp.bfloat16), self.nc, self.scale)
+        return _ApplyOps(qw, build)
 
     # -- serialization ------------------------------------------------------
 
@@ -455,14 +491,46 @@ def detect_top1_preprocessed_int8(
     return jnp.where((best_score >= conf)[:, None], out, jnp.nan)
 
 
-def make_detect_fns(q: QuantizedYolo):
+def detect_top1_int8_folded(q: QuantizedYolo, qw: dict, views, imgsz: tuple[int, int], conf: float, folded):
+    """Folded-stem twin of :func:`detect_top1_int8`: raw (B, H, W) grayscale
+    views, stem computed as letterbox matmuls, int8 graph from b1."""
+    scale, pad_top, pad_left = folded.geometry
+    box_logits, cls_logits = q.apply_folded(qw, views, folded)
+    best_box, best_score = decode_top1(box_logits, cls_logits, imgsz, q.reg_max)
+    xy = (best_box[:, :2] - jnp.array([pad_left, pad_top])) / scale
+    wh = (best_box[:, 2:] - best_box[:, :2]) / scale
+    out = jnp.concatenate([xy, wh], axis=-1)
+    return jnp.where((best_score >= conf)[:, None], out, jnp.nan)
+
+
+def make_detect_fns(q: QuantizedYolo, src_hw: tuple[int, int] | None = None, imgsz: tuple[int, int] | None = None):
     """(detect_fn, detect_preprocessed_fn) closures over one quantized
     detector, matching the engine hooks' ``(model, variables, ...)``
     signatures — ``variables`` must be :meth:`QuantizedYolo.device_weights`
-    output (the model argument is ignored; topology/scales live in ``q``)."""
+    output (the model argument is ignored; topology/scales live in ``q``).
 
-    def detect(model, variables, views, imgsz, conf):
-        return detect_top1_int8(q, variables, views, imgsz, conf)
+    With ``src_hw``/``imgsz`` given and a padding-free letterbox, ``detect``
+    runs the folded-stem graph (:meth:`QuantizedYolo.apply_folded`); otherwise
+    the standard preprocess→int8 path.
+    """
+    from wtracker_tpu.models.yolov8 import fold_stem_matrices
+
+    folded = None
+    if src_hw is not None and imgsz is not None:
+        folded = fold_stem_matrices(src_hw, imgsz, dtype=jnp.bfloat16)
+
+    if folded is not None:
+
+        def detect(model, variables, views, imgsz, conf):
+            return detect_top1_int8_folded(q, variables, views, imgsz, conf, folded)
+
+        # engines route raw views here instead of the preprocessed branch
+        detect.folds_preproc = True
+
+    else:
+
+        def detect(model, variables, views, imgsz, conf):
+            return detect_top1_int8(q, variables, views, imgsz, conf)
 
     def detect_preprocessed(model, variables, x, geometry, imgsz, conf):
         return detect_top1_preprocessed_int8(q, variables, x, geometry, imgsz, conf)

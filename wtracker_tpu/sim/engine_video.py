@@ -38,7 +38,7 @@ from wtracker_tpu.sim.engine import (
     init_carry,
     run_engine,
 )
-from wtracker_tpu.sim.engine_live import LiveLoopConfig
+from wtracker_tpu.sim.engine_live import LiveLoopConfig, _resolve_detect
 
 
 def video_live_controller(
@@ -75,13 +75,18 @@ def video_live_controller(
     view_hw = (params.cam_h, params.cam_w)
     C, H, W = chunk_shape
 
-    _detect = detect_fn or detect_top1
+    _detect = _resolve_detect(detect_fn, config, detector_model, detector_variables, view_hw)
     square = params.cam_w == params.cam_h and config.imgsz[0] == config.imgsz[1]
     if config.use_pallas_preproc is None:  # auto: Mosaic needs a real TPU
         use_pallas = square and jax.default_backend() == "tpu"
     else:
         use_pallas = config.use_pallas_preproc and square
-    if detect_fn is not None and detect_preprocessed_fn is None:
+    if getattr(_detect, "folds_preproc", False):
+        # folded-stem detectors consume raw views (letterbox + stem conv are
+        # one matmul chain) — the Pallas crop+letterbox branch is redundant
+        # and would route around the fold
+        use_pallas = False
+    elif detect_fn is not None and detect_preprocessed_fn is None:
         use_pallas = False  # custom detector without a preprocessed-input form
 
     # the Pallas kernel DMAs tile-aligned windows: store the chunk pre-padded
