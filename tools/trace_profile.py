@@ -92,6 +92,10 @@ def main() -> None:
         _ = float(jnp.sum(logs.positions))
 
     module_ps, op_ps, op_n = parse_xspace(args.trace_dir)
+    if module_ps == 0:
+        print("no device plane in the trace (CPU backend has no 'XLA Modules' "
+              "line) — run this on the TPU", file=sys.stderr)
+        sys.exit(1)
     ms = module_ps / 1e9
     per_cycle = ms / args.cycles
     steps = ctx.params.cycle_n * args.streams
