@@ -166,6 +166,9 @@ def build_flagship(S: int | None = None, n_cycles: int | None = None, chunks: in
     chunks = chunks or int(os.environ.get("BENCH_CHUNKS", "0")) or max(1, round(n_views / 360))
     while n_views % chunks:
         chunks -= 1
+    # batch->height folding of the layout-bound early detector stages
+    # (ops/foldbatch.py); seam rows, multiple of 8, 0 = off
+    batch_fold = int(os.environ.get("BENCH_BATCH_FOLD", "0"))
     cfg = LiveLoopConfig(
         imgsz=(416, 416),
         conf=0.1,
@@ -173,6 +176,7 @@ def build_flagship(S: int | None = None, n_cycles: int | None = None, chunks: in
         log_mode=True,  # detect EVERY frame, like the logging reference loop
         max_dist_per_pred=54.0,
         detect_chunks=chunks,
+        batch_fold=batch_fold,
     )
     scene = SyntheticScene()
     init_pos = np.tile([700, 700], (S, 1))
@@ -196,7 +200,9 @@ def build_flagship(S: int | None = None, n_cycles: int | None = None, chunks: in
             # folded-stem int8 serving path (stem as letterbox matmuls) — the
             # 360->416 bench geometry letterboxes without padding, so this is
             # exactly what track_video.py deploys
-            detect_int8, _ = make_detect_fns(q, src_hw=(params.cam_h, params.cam_w), imgsz=(416, 416))
+            detect_int8, _ = make_detect_fns(
+                q, src_hw=(params.cam_h, params.cam_w), imgsz=(416, 416), batch_fold=batch_fold
+            )
             return make_stream_batch_fused(
                 params, cfg, scene, trajs, det_model, qw, predictor, detect_fn=detect_int8
             )

@@ -84,6 +84,86 @@ def test_fold_residual_and_pointwise_need_no_mask():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+@pytest.fixture(scope="module")
+def fused_nano_and_views():
+    from wtracker_tpu.models.yolov8 import YoloV8, YoloV8Detector, fuse_conv_bn
+    from wtracker_tpu.sim.synthetic import SyntheticScene, make_trajectory
+
+    raw = YoloV8Detector.init_random(nc=1, scale="n", imgsz=(64, 64), compute_dtype=jnp.bfloat16, seed=3)
+    model = YoloV8(nc=1, scale="n", compute_dtype=jnp.bfloat16, fused=True)
+    variables = fuse_conv_bn(raw.variables)
+
+    scene = SyntheticScene()
+    traj = make_trajectory(64, (160, 160), seed=7)
+    xy = jnp.asarray(traj[:12], jnp.float32)
+    tls = jnp.clip(xy - 32, 0, 160 - 64).astype(jnp.float32)
+    views = np.asarray(scene.render_views(xy, tls, (64, 64), jnp.arange(12)), np.float32)
+    return model, variables, views
+
+
+def test_batchfolded_bf16_walker_matches_plain(fused_nano_and_views):
+    """The batch-folded bf16 post-stem graph must equal the plain walker —
+    folding is a lowering change only."""
+    from wtracker_tpu.models.yolov8 import stem_apply
+    from wtracker_tpu.models.yolov8_int8 import forward_from_b0_bf16
+    from wtracker_tpu.models.yolov8 import fold_stem_matrices
+
+    model, variables, views = fused_nano_and_views
+    folded = fold_stem_matrices((56, 56), (64, 64), dtype=jnp.bfloat16)
+    assert folded is not None
+    z = stem_apply(folded, variables["params"]["b0"]["conv"], jnp.asarray(views[:, :56, :56]))
+
+    ref = forward_from_b0_bf16(variables, z, 1, "n", batch_fold=0)
+    got = forward_from_b0_bf16(variables, z, 1, "n", batch_fold=8)
+    for r, g in zip(list(ref[0]) + list(ref[1]), list(got[0]) + list(got[1])):
+        r, g = np.asarray(r, np.float32), np.asarray(g, np.float32)
+        tol = 0.02 * max(np.abs(r).max(), 1e-3)  # bf16 accumulation-order slack
+        assert r.shape == g.shape
+        assert np.abs(r - g).max() <= tol, f"batch-fold drift {np.abs(r - g).max()} > {tol}"
+
+
+def test_batchfolded_int8_apply_is_bit_exact(fused_nano_and_views):
+    """int8 arithmetic is deterministic: the batch-folded int8 forward must be
+    BIT-identical to the plain int8 forward."""
+    from wtracker_tpu.models.yolov8 import preprocess_batch
+    from wtracker_tpu.models.yolov8_int8 import quantize_detector
+
+    model, variables, views = fused_nano_and_views
+    q = quantize_detector(model, variables, views[:8], (64, 64))
+    qw = q.device_weights()
+
+    x, _ = preprocess_batch(jnp.asarray(views[8:]), (64, 64), dtype=jnp.bfloat16)
+    ref = q.apply(qw, x)
+    got = q.apply_batchfolded(qw, x, batch_fold=8)
+    for r, g in zip(list(ref[0]) + list(ref[1]), list(got[0]) + list(got[1])):
+        np.testing.assert_array_equal(np.asarray(r, np.float32), np.asarray(g, np.float32))
+
+
+def test_batchfolded_detect_fns_agree(fused_nano_and_views):
+    """End-to-end: the engine-facing detect closures (bf16 + int8, folded stem
+    + batch fold) return the same boxes as their plain counterparts."""
+    from wtracker_tpu.models.yolov8 import make_folded_detect
+    from wtracker_tpu.models.yolov8_int8 import make_detect_fns, quantize_detector
+
+    model, variables, views = fused_nano_and_views
+    v56 = jnp.asarray(views[:, :56, :56])
+
+    plain = make_folded_detect(model, (56, 56), (64, 64))
+    fold = make_folded_detect(model, (56, 56), (64, 64), batch_fold=8)
+    b_plain = np.asarray(plain(None, variables, v56, None, 0.0))
+    b_fold = np.asarray(fold(None, variables, v56, None, 0.0))
+    np.testing.assert_allclose(b_fold, b_plain, atol=0.75)  # bf16 slack, sub-px
+
+    q = quantize_detector(model, variables, np.asarray(views[:8, :56, :56]), (64, 64))
+    qw = q.device_weights()
+    di_plain, _ = make_detect_fns(q, src_hw=(56, 56), imgsz=(64, 64))
+    di_fold, _ = make_detect_fns(q, src_hw=(56, 56), imgsz=(64, 64), batch_fold=8)
+    np.testing.assert_array_equal(
+        np.asarray(di_fold(None, qw, v56, None, 0.0)),
+        np.asarray(di_plain(None, qw, v56, None, 0.0)),
+    )
+
+
 def test_unfold_shape_contract():
     x = jnp.zeros((7, 12, 9, 3))
     f = fold_batch(x, 2)

@@ -48,7 +48,9 @@ def _resolve_detect(detect_fn, config: LiveLoopConfig, detector_model, detector_
         return detect_top1
     folded = None
     if can_fold_stem(detector_variables):
-        folded = make_folded_detect(detector_model, view_hw, config.imgsz)
+        folded = make_folded_detect(
+            detector_model, view_hw, config.imgsz, batch_fold=config.batch_fold
+        )
     if folded is None:
         if config.fold_stem:
             raise ValueError(
@@ -99,6 +101,11 @@ class LiveLoopConfig:
     padding; ``True`` raises if the geometry can't fold; ``False`` forces the
     standard letterbox→conv path. Exact math (f32 maxdiff ~1e-6), so the
     default flips on everywhere it applies."""
+    batch_fold: int = 0
+    """Batch→height folding seam (multiple of 8; 0 = off) for the detector's
+    layout-bound early conv stages (ops/foldbatch.py) — stacks each detect
+    sub-batch into one tall image so XLA keeps its channel-minor conv path.
+    Applies to the folded-stem detect path only (the flagship loop)."""
 
 
 def hybrid_yolo_mlp_controller(
