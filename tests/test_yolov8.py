@@ -133,6 +133,27 @@ def test_scale_s_shapes():
     assert 10_000_000 < n_params < 12_000_000  # YOLOv8s ≈ 11.1M params
 
 
+@pytest.mark.parametrize(
+    "scale,widths",
+    [
+        # ultralytics YOLOv8 channel progressions (width_multiple + max_channels
+        # applied to 64/128/256/512/1024); the b-stage output channels are the
+        # architecture's public contract for weight-port compatibility
+        ("n", (16, 32, 64, 128, 256)),
+        ("s", (32, 64, 128, 256, 512)),
+        ("m", (48, 96, 192, 384, 576)),
+        ("l", (64, 128, 256, 512, 512)),
+        ("x", (80, 160, 320, 640, 640)),
+    ],
+)
+def test_scale_presets_match_ultralytics_channels(scale, widths):
+    from wtracker_tpu.models.yolov8 import SCALES, _make_divisible
+
+    _, width, max_ch = SCALES[scale]
+    got = tuple(_make_divisible(min(c, max_ch) * width) for c in (64, 128, 256, 512, 1024))
+    assert got == widths
+
+
 def test_bn_fusion_preserves_outputs(ported):
     """Folding BN into conv weights must not change detector outputs."""
     import jax.numpy as jnp
