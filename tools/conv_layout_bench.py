@@ -7,7 +7,11 @@ per shape, the device time of
 * ``plain``    — the batched conv as the detector runs it today;
 * ``fold``     — fold + conv + unfold (what a single-op swap would cost);
 * ``fold_pre`` — conv on an already-folded input (what chained integration
-  amortizes to, including the seam re-zero mask).
+  amortizes to, including the seam re-zero mask);
+* ``group``    — batch→channel folding: G images reshaped into G·C channels,
+  conv with a G-tiled kernel + ``feature_group_count=G`` (full 128-wide
+  lanes, no seams; viable only if XLA lowers grouped convs well);
+* ``group_pre`` — the grouped conv on an already-grouped input.
 
 Methodology follows docs/performance.md round 3: each variant runs as a
 ``lax.scan`` whose *inputs vary per iteration* (two rotating buffers — a
@@ -44,7 +48,8 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=24)
     ap.add_argument("--batch", type=int, default=360)
     ap.add_argument("--shapes", default="all")
-    ap.add_argument("--seams", default="auto", help="comma list, or auto (=stride, and 8)")
+    ap.add_argument("--seams", default="auto", help="comma list, or auto (8 and 16)")
+    ap.add_argument("--groups", type=int, default=8, help="batch->channel group count (0 = skip)")
     ap.add_argument("--trace-dir", default="/tmp/wtracker-foldbench")
     args = ap.parse_args()
 
@@ -58,11 +63,21 @@ def main() -> None:
 
     names = list(SHAPES) if args.shapes == "all" else args.shapes.split(",")
     dt = jnp.bfloat16
+    G = args.groups
 
-    def conv(x, k, stride):
+    def conv(x, k, stride, groups=1):
         return jax.lax.conv_general_dilated(
-            x, k, (stride, stride), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+            x, k, (stride, stride), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=groups,
         )
+
+    def to_grouped(x, g):
+        b, h, w, c = x.shape
+        return x.reshape(b // g, g, h, w, c).transpose(0, 2, 3, 1, 4).reshape(b // g, h, w, g * c)
+
+    def from_grouped(y, g):
+        bg, h, w, gc = y.shape
+        return y.reshape(bg, h, w, g, gc // g).transpose(0, 3, 1, 2, 4).reshape(bg * g, h, w, gc // g)
 
     def run_traced(fn, bufs, tag):
         scan = jax.jit(
@@ -86,7 +101,7 @@ def main() -> None:
     print(f"{'shape':>6} {'conv':>16} {'plain':>8}", end="")
     for name in names:
         h, cin, cout, stride = SHAPES[name]
-        seams = [stride, 8] if args.seams == "auto" else [int(s) for s in args.seams.split(",")]
+        seams = [8, 16] if args.seams == "auto" else [int(s) for s in args.seams.split(",")]
         b = args.batch
         k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.05, dt)
         bufs = jnp.asarray(rng.standard_normal((2, b, h, h, cin)), dt)
@@ -97,7 +112,7 @@ def main() -> None:
         t_plain = run_traced(
             lambda bufs, i: probe(conv(bufs[i % 2], k, stride)), bufs, f"{name}-plain"
         )
-        row = f"\n{name:>6} {f'3x3 s{stride} {cin}->{cout} @{h}':>16} {t_plain:8.2f}"
+        row = f"\n{name:>6} {f'3x3 s{stride} {cin}->{cout} @{h}':>18} plain {t_plain:6.2f}"
         for seam in seams:
             if stride == 2 and seam % 2:
                 continue
@@ -116,7 +131,21 @@ def main() -> None:
                 fbufs,
                 f"{name}-pre{seam}",
             )
-            row += f"  seam{seam}: fold {t_fold:6.2f} pre {t_pre:6.2f}"
+            row += f"  s{seam}: fold {t_fold:6.2f} pre {t_pre:6.2f}"
+        if G and b % G == 0:
+            kg = jnp.tile(k, (1, 1, 1, G))
+            gbufs = jnp.stack([to_grouped(bufs[j], G) for j in range(2)])
+            t_group = run_traced(
+                lambda bufs, i: probe(
+                    from_grouped(conv(to_grouped(bufs[i % 2], G), kg, stride, G), G)
+                ),
+                bufs,
+                f"{name}-group{G}",
+            )
+            t_gpre = run_traced(
+                lambda gbufs, i: probe(conv(gbufs[i % 2], kg, stride, G)), gbufs, f"{name}-gpre{G}"
+            )
+            row += f"  g{G}: grp {t_group:6.2f} gpre {t_gpre:6.2f}"
         print(row, end="", flush=True)
     print()
 
