@@ -177,6 +177,9 @@ def build_flagship(S: int | None = None, n_cycles: int | None = None, chunks: in
         max_dist_per_pred=54.0,
         detect_chunks=chunks,
         batch_fold=batch_fold,
+        # render->stem fusion (sim/render_fused.py): views computed directly
+        # in stem space (bf16 path only)
+        fuse_render=os.environ.get("BENCH_FUSE_RENDER", "0") == "1",
     )
     scene = SyntheticScene()
     init_pos = np.tile([700, 700], (S, 1))

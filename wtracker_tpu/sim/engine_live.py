@@ -106,6 +106,12 @@ class LiveLoopConfig:
     layout-bound early conv stages (ops/foldbatch.py) — stacks each detect
     sub-batch into one tall image so XLA keeps its channel-minor conv path.
     Applies to the folded-stem detect path only (the flagship loop)."""
+    fuse_render: bool = False
+    """Synthetic-loop only (make_stream_batch_fused): compute the scene render
+    directly in stem space (sim/render_fused.py) — the view tensor is never
+    materialized; the texture costs eight scalar transcendentals per view.
+    Requires a BN-fused detector, padding-free letterbox and a clip-free
+    scene; raises otherwise."""
 
 
 def hybrid_yolo_mlp_controller(
@@ -441,9 +447,28 @@ def make_stream_batch_fused(
     view_hw = (params.cam_h, params.cam_w)
     consts = {"det": detector_variables, "mlp": predictor.variables}
 
+    _fused_rd = None
+    if config.fuse_render and detect_fn is None:  # an explicit hook wins
+        from wtracker_tpu.sim.render_fused import make_fused_render_detect
+
+        if can_fold_stem(detector_variables):
+            _fused_rd = make_fused_render_detect(
+                detector_model, scene, view_hw, config.imgsz, config.conf,
+                batch_fold=config.batch_fold,
+            )
+        if _fused_rd is None:
+            raise ValueError(
+                "fuse_render=True needs the built-in bf16 detector with BN-fused "
+                "variables, a padding-free letterbox and a clip-free scene "
+                f"(camera {view_hw} -> imgsz {config.imgsz})"
+            )
+
     def _render_detect(consts, worm_xy, cam_tls, fidx):
-        views = scene.render_views(worm_xy, cam_tls.astype(jnp.float32), view_hw, fidx)
-        boxes = _detect(detector_model, consts["det"], views, config.imgsz, config.conf)
+        if _fused_rd is not None:
+            boxes = _fused_rd(consts["det"], worm_xy, cam_tls, fidx)
+        else:
+            views = scene.render_views(worm_xy, cam_tls.astype(jnp.float32), view_hw, fidx)
+            boxes = _detect(detector_model, consts["det"], views, config.imgsz, config.conf)
         return boxes.at[:, :2].add(cam_tls.astype(boxes.dtype))
 
     def detect_flat(consts, worm_xy_flat, cam_tls_flat, fidx_flat):
