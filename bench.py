@@ -203,9 +203,17 @@ def build_flagship(S: int | None = None, n_cycles: int | None = None, chunks: in
             # folded-stem int8 serving path (stem as letterbox matmuls) — the
             # 360->416 bench geometry letterboxes without padding, so this is
             # exactly what track_video.py deploys
-            detect_int8, _ = make_detect_fns(
-                q, src_hw=(params.cam_h, params.cam_w), imgsz=(416, 416), batch_fold=batch_fold
-            )
+            if cfg.fuse_render:
+                from wtracker_tpu.sim.render_fused import make_fused_render_detect_int8
+
+                detect_int8 = make_fused_render_detect_int8(
+                    q, scene, (params.cam_h, params.cam_w), (416, 416), cfg.conf,
+                    batch_fold=batch_fold,
+                )
+            else:
+                detect_int8, _ = make_detect_fns(
+                    q, src_hw=(params.cam_h, params.cam_w), imgsz=(416, 416), batch_fold=batch_fold
+                )
             return make_stream_batch_fused(
                 params, cfg, scene, trajs, det_model, qw, predictor, detect_fn=detect_int8
             )

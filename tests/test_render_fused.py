@@ -89,6 +89,33 @@ def test_fused_render_detect_matches_folded_detect(batch_fold):
     np.testing.assert_allclose(got, ref, atol=0.75)  # bf16 reassociation, sub-px
 
 
+def test_fused_render_detect_int8_matches_folded():
+    """The int8 fused-render hook agrees with the int8 folded-stem detect on
+    rendered views (same requant point, render reassociated in bf16)."""
+    from wtracker_tpu.models.yolov8_int8 import make_detect_fns, quantize_detector
+    from wtracker_tpu.sim.render_fused import make_fused_render_detect_int8
+
+    scene, xy, tls, fidx = _views_setup()
+    det = YoloV8Detector.init_random(nc=1, scale="n", imgsz=IMGSZ, compute_dtype=jnp.bfloat16, seed=3)
+    model = YoloV8(nc=1, scale="n", compute_dtype=jnp.bfloat16, fused=True)
+    variables = fuse_conv_bn(det.variables)
+    views = scene.render_views(xy, tls, SRC, fidx)
+
+    q = quantize_detector(model, variables, np.asarray(views[:6]), IMGSZ)
+    qw = q.device_weights()
+    plain, _ = make_detect_fns(q, src_hw=SRC, imgsz=IMGSZ)
+    ref = np.asarray(plain(None, qw, views, None, 0.0))
+
+    fused = make_fused_render_detect_int8(q, scene, SRC, IMGSZ, conf=0.0, batch_fold=8)
+    assert fused is not None and fused.fuses_render
+    got = np.asarray(fused(qw, xy, tls, fidx))
+
+    assert got.shape == ref.shape
+    # the stem runs in bf16 either way; requantization at b0 clamps most of
+    # the reassociation, but a borderline int8 level can still flip
+    np.testing.assert_allclose(got, ref, atol=1.5)
+
+
 def test_fuse_render_live_loop_equivalence():
     """End-to-end: the fused-render live loop tracks identically (integer
     platform positions) to the render-then-detect loop."""
@@ -127,3 +154,22 @@ def test_fuse_render_live_loop_equivalence():
 
     # integer platform positions: bf16 reassociation may flip a rounded px
     assert np.abs(logs[True] - logs[False]).max() <= 1.0
+
+    # int8 fused-render hook through the same engine (the bench deployment
+    # path): the engine must route the no-views contract via detect_fn
+    from wtracker_tpu.models.yolov8_int8 import quantize_detector
+    from wtracker_tpu.sim.render_fused import make_fused_render_detect_int8
+
+    xy8 = jnp.asarray(trajs[0, :8], jnp.float32)
+    calib = np.asarray(
+        scene.render_views(xy8, jnp.clip(xy8 - 36, 0, 300 - 72), (72, 72), jnp.arange(8))
+    )
+    q = quantize_detector(model, dv, calib, IMGSZ)
+    hook = make_fused_render_detect_int8(q, scene, (72, 72), IMGSZ, conf=0.0, batch_fold=8)
+    cfg8 = LiveLoopConfig(imgsz=IMGSZ, conf=0.0, ring_size=32, log_mode=True,
+                          max_dist_per_pred=54.0, detect_chunks=2)
+    ctl8 = make_stream_batch_fused(
+        params, cfg8, scene, trajs, model, q.device_weights(), predictor, detect_fn=hook
+    )
+    out8 = run_engine_streams(params, ctl8, init_pos, 4, delayed_log=True)
+    assert np.isfinite(np.asarray(out8.positions)).all()

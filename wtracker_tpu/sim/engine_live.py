@@ -447,8 +447,10 @@ def make_stream_batch_fused(
     view_hw = (params.cam_h, params.cam_w)
     consts = {"det": detector_variables, "mlp": predictor.variables}
 
-    _fused_rd = None
-    if config.fuse_render and detect_fn is None:  # an explicit hook wins
+    # an explicit detect_fn built with fuses_render=True (e.g. the int8 hook
+    # from sim/render_fused.py) routes straight to the no-views contract
+    _fused_rd = _detect if getattr(_detect, "fuses_render", False) else None
+    if config.fuse_render and detect_fn is None:
         from wtracker_tpu.sim.render_fused import make_fused_render_detect
 
         if can_fold_stem(detector_variables):

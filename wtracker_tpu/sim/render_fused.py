@@ -253,3 +253,62 @@ def make_fused_render_detect(
 
     detect.fuses_render = True
     return detect
+
+
+def make_fused_render_detect_int8(
+    q,
+    scene: SyntheticScene,
+    src_hw: tuple[int, int],
+    imgsz: tuple[int, int],
+    conf: float,
+    batch_fold: int = 0,
+):
+    """int8 twin of :func:`make_fused_render_detect`: render→stem in bf16,
+    requantize at b0's calibrated scale, continue the int8 graph from b1
+    (mirrors :meth:`wtracker_tpu.models.yolov8_int8.QuantizedYolo.apply_folded`).
+
+    ``q`` is a QuantizedYolo; the returned hook takes ``(qw, worm_xys,
+    cam_tls, frame_idx)`` with ``qw = q.device_weights()`` and carries
+    ``fuses_render=True`` — pass it as the engine's ``detect_fn``.
+    """
+    if not scene_is_clip_free(scene):
+        return None
+    tab = _build_tables(src_hw, imgsz, jnp.bfloat16)
+    if tab is None:
+        return None
+    scale, pad_top, pad_left = tab.geometry
+
+    def detect(qw, worm_xys, cam_tls, frame_idx):
+        from wtracker_tpu.models.yolov8_int8 import (
+            _forward_from_b0,
+            _forward_from_b0_batchfolded,
+            _QT,
+            _quant,
+        )
+
+        ops = q._apply_ops(qw)
+        s_in = max(q.absmax["__input__"], 1e-6) / 127.0
+        b0 = qw["b0"]
+        weff = (
+            b0["w"].astype(jnp.float32).sum(axis=2).reshape(9, -1)
+            * b0["sw"][None, :]
+            / np.float32(s_in)
+        )
+        z = render_stem(scene, tab, weff, b0["b"], worm_xys, cam_tls.astype(jnp.float32),
+                        frame_idx, src_hw)
+        s_b0 = ops._scale_of("b0")
+        xq = _QT(_quant(z, s_b0), np.full(z.shape[-1], s_b0))
+        if batch_fold:
+            box_logits, cls_logits = _forward_from_b0_batchfolded(
+                ops, xq, q.nc, q.scale, worm_xys.shape[0], batch_fold
+            )
+        else:
+            box_logits, cls_logits = _forward_from_b0(ops, xq, q.nc, q.scale)
+        best_box, best_score = decode_top1(box_logits, cls_logits, imgsz, q.reg_max)
+        xy = (best_box[:, :2] - jnp.array([pad_left, pad_top])) / scale
+        wh = (best_box[:, 2:] - best_box[:, :2]) / scale
+        out = jnp.concatenate([xy, wh], axis=-1)
+        return jnp.where((best_score >= conf)[:, None], out, jnp.nan)
+
+    detect.fuses_render = True
+    return detect
