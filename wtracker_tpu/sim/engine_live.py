@@ -133,6 +133,10 @@ def hybrid_yolo_mlp_controller(
             ``input_frames`` offsets select ring entries as features.
     """
     _detect = _resolve_detect(detect_fn, config, detector_model, detector_variables, (params.cam_h, params.cam_w))
+    if config.fuse_render or getattr(_detect, "fuses_render", False):
+        raise ValueError(
+            "render->stem fusion needs the fused controller (make_stream_batch_fused)"
+        )
     R = config.ring_size
     L = params.cycle_n
     io = predictor.io_config
@@ -289,6 +293,10 @@ def make_stream_batch_flat(
     # run_engine_streams call (46 MB ~ 0.5 s/window at bench scale)
     gt0 = jnp.asarray(gt_trajs, dtype=jnp.float32)
     _detect = _resolve_detect(detect_fn, config, detector_model, detector_variables, (params.cam_h, params.cam_w))
+    if config.fuse_render or getattr(_detect, "fuses_render", False):
+        raise ValueError(
+            "render->stem fusion needs the fused controller (make_stream_batch_fused)"
+        )
     R = config.ring_size
     L = params.cycle_n
     IM, MV = params.imaging_n, params.moving_n
