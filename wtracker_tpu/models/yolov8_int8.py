@@ -507,6 +507,7 @@ def forward_from_b0_bf16(fused_variables: dict, z, nc: int, scale: str, batch_fo
     batch-folding of the layout-bound stages. ``z`` is the stem output
     (pair with :func:`wtracker_tpu.models.yolov8.stem_apply`)."""
     ops = _CalibOps(fused_variables["params"], record=False)
+    z = z.astype(jnp.bfloat16)  # the walker computes in bf16 throughout
     if batch_fold:
         return _forward_from_b0_batchfolded(ops, z, nc, scale, z.shape[0], batch_fold)
     return _forward_from_b0(ops, z, nc, scale)
