@@ -50,6 +50,8 @@ def main() -> None:
     ap.add_argument("--shapes", default="all")
     ap.add_argument("--seams", default="auto", help="comma list, or auto (8 and 16)")
     ap.add_argument("--groups", type=int, default=8, help="batch->channel group count (0 = skip)")
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "int8"],
+                    help="int8 = s8xs8->s32 convs with an f32 dequant epilogue (the serving path's shape)")
     ap.add_argument("--trace-dir", default="/tmp/wtracker-foldbench")
     args = ap.parse_args()
 
@@ -62,14 +64,19 @@ def main() -> None:
     from wtracker_tpu.ops.foldbatch import fold_batch, seam_mask, unfold_batch
 
     names = list(SHAPES) if args.shapes == "all" else args.shapes.split(",")
-    dt = jnp.bfloat16
+    int8 = args.dtype == "int8"
+    dt = jnp.int8 if int8 else jnp.bfloat16
     G = args.groups
 
     def conv(x, k, stride, groups=1):
-        return jax.lax.conv_general_dilated(
+        y = jax.lax.conv_general_dilated(
             x, k, (stride, stride), ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=groups,
+            preferred_element_type=jnp.int32 if int8 else None,
         )
+        if int8:  # serving-path shape: dequant epilogue fused into the conv
+            y = jnp.clip(jnp.round(y.astype(jnp.float32) * 0.02), -127, 127).astype(jnp.int8)
+        return y
 
     def to_grouped(x, g):
         b, h, w, c = x.shape
@@ -103,8 +110,12 @@ def main() -> None:
         h, cin, cout, stride = SHAPES[name]
         seams = [8, 16] if args.seams == "auto" else [int(s) for s in args.seams.split(",")]
         b = args.batch
-        k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.05, dt)
-        bufs = jnp.asarray(rng.standard_normal((2, b, h, h, cin)), dt)
+        if int8:
+            k = jnp.asarray(rng.integers(-127, 128, (3, 3, cin, cout)), dt)
+            bufs = jnp.asarray(rng.integers(-127, 128, (2, b, h, h, cin)), dt)
+        else:
+            k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.05, dt)
+            bufs = jnp.asarray(rng.standard_normal((2, b, h, h, cin)), dt)
 
         def probe(out):  # cheap DCE guard: conv must run, reduce only a sliver
             return jnp.sum(out[:, 0, 0, :].astype(jnp.float32))
