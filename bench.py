@@ -169,6 +169,8 @@ def build_flagship(S: int | None = None, n_cycles: int | None = None, chunks: in
     # batch->height folding of the layout-bound early detector stages
     # (ops/foldbatch.py); seam rows, multiple of 8, 0 = off
     batch_fold = int(os.environ.get("BENCH_BATCH_FOLD", "0"))
+    if batch_fold and (batch_fold % 8 or batch_fold < 0):
+        raise SystemExit(f"BENCH_BATCH_FOLD must be a positive multiple of 8, got {batch_fold}")
     cfg = LiveLoopConfig(
         imgsz=(416, 416),
         conf=0.1,

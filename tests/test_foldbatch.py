@@ -163,6 +163,16 @@ def test_batchfolded_detect_fns_agree(fused_nano_and_views):
         np.asarray(di_plain(None, qw, v56, None, 0.0)),
     )
 
+    # padded letterbox (no folded stem available): batch_fold must still apply
+    # — through apply_batchfolded — and stay bit-exact vs the plain int8 path
+    v48x56 = jnp.asarray(views[:, :48, :56])
+    dp_plain, _ = make_detect_fns(q, src_hw=(48, 56), imgsz=(64, 64))
+    dp_fold, _ = make_detect_fns(q, src_hw=(48, 56), imgsz=(64, 64), batch_fold=8)
+    np.testing.assert_array_equal(
+        np.asarray(dp_fold(None, qw, v48x56, (64, 64), 0.0)),
+        np.asarray(dp_plain(None, qw, v48x56, (64, 64), 0.0)),
+    )
+
 
 def test_unfold_shape_contract():
     x = jnp.zeros((7, 12, 9, 3))

@@ -104,7 +104,7 @@ def main() -> None:
         return module_ps / 1e9 / args.iters  # ms per iteration
 
     rng = np.random.default_rng(0)
-    print(f"B={args.batch}, {args.iters} iters/window, bf16, device-trace ms/iter")
+    print(f"B={args.batch}, {args.iters} iters/window, {args.dtype}, device-trace ms/iter")
     print(f"{'shape':>6} {'conv':>16} {'plain':>8}", end="")
     for name in names:
         h, cin, cout, stride = SHAPES[name]

@@ -383,6 +383,36 @@ def decode_top1(
     return jnp.concatenate([tl, br], axis=-1), best_score
 
 
+def top1_source_boxes(
+    box_logits,
+    cls_logits,
+    imgsz: tuple[int, int],
+    reg_max: int,
+    geometry: tuple,
+    conf: float,
+) -> jnp.ndarray:
+    """Top-1 decode → letterbox un-mapping → confidence mask.
+
+    The shared tail of every detect entry point (bf16, int8, folded-stem,
+    fused-render): (B, 4) xywh in *source* pixels, NaN rows below ``conf``
+    (the reference's ``max_det=1`` contract, yolo_controller.py:80-90).
+    ``geometry`` is the letterbox ``(scale, pad_top, pad_left)``.
+    """
+    scale, pad_top, pad_left = geometry
+    best_box, best_score = decode_top1(box_logits, cls_logits, imgsz, reg_max)
+    xy = (best_box[:, :2] - jnp.array([pad_left, pad_top])) / scale
+    wh = (best_box[:, 2:] - best_box[:, :2]) / scale
+    out = jnp.concatenate([xy, wh], axis=-1)
+    return jnp.where((best_score >= conf)[:, None], out, jnp.nan)
+
+
+def stem_weff(stem_params: dict) -> jnp.ndarray:
+    """Channel-summed (9, out_ch) stem kernel for the folded-stem matmul chain
+    (grayscale sources broadcast to 3 identical channels, so the kernel's
+    input-channel axis sums out)."""
+    return stem_params["kernel"].astype(jnp.float32).sum(axis=2).reshape(9, -1)
+
+
 # ---------------------------------------------------------------------------
 # preprocessing (letterbox) and the end-to-end detector
 # ---------------------------------------------------------------------------
@@ -430,14 +460,8 @@ def detect_top1_preprocessed(
     map boxes back into source pixels — pair with the fused Pallas
     preprocessing kernel (ops/pallas_preproc.py).
     """
-    scale, pad_top, pad_left = geometry
     box_logits, cls_logits = model.apply(variables, x, train=False)
-    best_box, best_score = decode_top1(box_logits, cls_logits, imgsz, model.reg_max)
-
-    xy = (best_box[:, :2] - jnp.array([pad_left, pad_top])) / scale
-    wh = (best_box[:, 2:] - best_box[:, :2]) / scale
-    out = jnp.concatenate([xy, wh], axis=-1)
-    return jnp.where((best_score >= conf)[:, None], out, jnp.nan)
+    return top1_source_boxes(box_logits, cls_logits, imgsz, model.reg_max, geometry, conf)
 
 
 def detect_top1(
@@ -452,15 +476,9 @@ def detect_top1(
     (B, H, W[, C]) frames → (B, 4) xywh in source pixels; NaN rows when the
     best score is below ``conf`` (the reference's ``max_det=1`` contract).
     """
-    x, (scale, pad_top, pad_left) = preprocess_batch(frames, imgsz, dtype=model.compute_dtype)
+    x, geometry = preprocess_batch(frames, imgsz, dtype=model.compute_dtype)
     box_logits, cls_logits = model.apply(variables, x, train=False)
-    best_box, best_score = decode_top1(box_logits, cls_logits, imgsz, model.reg_max)  # xyxy
-
-    # letterbox → source coordinates
-    xy = (best_box[:, :2] - jnp.array([pad_left, pad_top])) / scale
-    wh = (best_box[:, 2:] - best_box[:, :2]) / scale
-    out = jnp.concatenate([xy, wh], axis=-1)
-    return jnp.where((best_score >= conf)[:, None], out, jnp.nan)
+    return top1_source_boxes(box_logits, cls_logits, imgsz, model.reg_max, geometry, conf)
 
 
 # ---------------------------------------------------------------------------
@@ -546,8 +564,7 @@ def stem_apply(folded: FoldedStem, stem_params: dict, views: jnp.ndarray) -> jnp
     ``stem_params`` is the BN-fused b0 conv node ``{"kernel", "bias"}`` —
     traced, so weights flow through jit arguments like every other layer.
     """
-    weff = stem_params["kernel"].astype(jnp.float32).sum(axis=2).reshape(9, -1)
-    return stem_apply_weff(folded, weff, stem_params["bias"], views)
+    return stem_apply_weff(folded, stem_weff(stem_params), stem_params["bias"], views)
 
 
 def can_fold_stem(variables: dict) -> bool:
@@ -574,8 +591,12 @@ def make_folded_detect(
     folded = fold_stem_matrices(src_hw, imgsz, dtype=model.compute_dtype)
     if folded is None:
         return None
+    if batch_fold and model.compute_dtype != jnp.bfloat16:
+        # the walker graph the folded path routes through computes in bf16;
+        # silently downgrading an f32 detector would contradict the
+        # "lowering change only" contract
+        raise ValueError("batch_fold requires a bf16-compute detector")
     rest = model.clone(external_stem=True)
-    scale, pad_top, pad_left = folded.geometry
 
     def detect(_model, variables, views, _imgsz, conf):
         z = stem_apply(folded, variables["params"]["b0"]["conv"], views)
@@ -587,11 +608,9 @@ def make_folded_detect(
             )
         else:
             box_logits, cls_logits = rest.apply(variables, z, train=False)
-        best_box, best_score = decode_top1(box_logits, cls_logits, imgsz, rest.reg_max)
-        xy = (best_box[:, :2] - jnp.array([pad_left, pad_top])) / scale
-        wh = (best_box[:, 2:] - best_box[:, :2]) / scale
-        out = jnp.concatenate([xy, wh], axis=-1)
-        return jnp.where((best_score >= conf)[:, None], out, jnp.nan)
+        return top1_source_boxes(
+            box_logits, cls_logits, imgsz, rest.reg_max, folded.geometry, conf
+        )
 
     detect.folds_preproc = True  # engines route raw views here, not the Pallas branch
     return detect

@@ -52,6 +52,7 @@ from wtracker_tpu.models.yolov8 import (
     decode_top1,
     letterbox_params,
     preprocess_batch,
+    top1_source_boxes,
 )
 
 
@@ -418,10 +419,6 @@ class _SeamMasked:
         return getattr(self._ops, attr)
 
 
-def _bool_seam_mask(batch: int, valid_rows: int, seam: int):
-    block = np.zeros((valid_rows + seam,), bool)
-    block[:valid_rows] = True
-    return jnp.asarray(np.tile(block, batch))[:, None, None]
 
 
 def _forward_from_b0_batchfolded(ops, z, nc: int, scale: str, batch: int, seam: int = 8):
@@ -445,9 +442,11 @@ def _forward_from_b0_batchfolded(ops, z, nc: int, scale: str, batch: int, seam: 
     h_stem = ops.rows(z)  # per-image rows at the stem output (imgsz / 2)
     h4, s4 = h_stem // 2, seam // 2  # /4 level (104² at imgsz 416)
     h8, s8 = h4 // 2, s4 // 2  # /8 level (52²)
+    from wtracker_tpu.ops.foldbatch import seam_mask
+
     masks = {
-        batch * (h4 + s4): _bool_seam_mask(batch, h4, s4),
-        batch * (h8 + s8): _bool_seam_mask(batch, h8, s8),
+        batch * (h4 + s4): seam_mask(batch, h4, s4, jnp.bool_),
+        batch * (h8 + s8): seam_mask(batch, h8, s8, jnp.bool_),
     }
     f = _SeamMasked(ops, masks)
 
@@ -558,14 +557,8 @@ class QuantizedYolo:
         from wtracker_tpu.models.yolov8 import stem_apply_weff
 
         ops = self._apply_ops(qw)
-        s_in = max(self.absmax["__input__"], 1e-6) / 127.0
         b0 = qw["b0"]
-        weff = (
-            b0["w"].astype(jnp.float32).sum(axis=2).reshape(9, -1)
-            * b0["sw"][None, :]
-            / np.float32(s_in)
-        )
-        z = stem_apply_weff(folded, weff, b0["b"], views)
+        z = stem_apply_weff(folded, self.stem_weff(qw), b0["b"], views)
         s_b0 = ops._scale_of("b0")
         xq = _QT(_quant(z, s_b0), np.full(z.shape[-1], s_b0))
         if batch_fold:
@@ -573,6 +566,18 @@ class QuantizedYolo:
                 ops, xq, self.nc, self.scale, views.shape[0], batch_fold
             )
         return _forward_from_b0(ops, xq, self.nc, self.scale)
+
+    def stem_weff(self, qw: dict) -> jnp.ndarray:
+        """Channel-summed bf16-equivalent (9, out_ch) stem kernel reconstructed
+        in-graph from the quantized b0 node: ``W = wq·sw / s_in`` (``s_in`` is
+        the calibrated input scale the build phase folded in)."""
+        s_in = max(self.absmax["__input__"], 1e-6) / 127.0
+        b0 = qw["b0"]
+        return (
+            b0["w"].astype(jnp.float32).sum(axis=2).reshape(9, -1)
+            * b0["sw"][None, :]
+            / np.float32(s_in)
+        )
 
     def _apply_ops(self, qw: dict) -> "_ApplyOps":
         build = _BuildOps.__new__(_BuildOps)
@@ -635,17 +640,20 @@ def quantize_detector(
     return QuantizedYolo(nc=model.nc, scale=model.scale, absmax=dict(calib.absmax), qweights=build.qweights)
 
 
-def detect_top1_int8(q: QuantizedYolo, qw: dict, frames, imgsz: tuple[int, int], conf: float):
+def detect_top1_int8(
+    q: QuantizedYolo, qw: dict, frames, imgsz: tuple[int, int], conf: float,
+    batch_fold: int = 0,
+):
     """int8 twin of :func:`wtracker_tpu.models.yolov8.detect_top1` — same
     contract: (B, H, W[, C]) frames → (B, 4) xywh source-pixel boxes, NaN
-    rows below ``conf``."""
-    x, (scale, pad_top, pad_left) = preprocess_batch(frames, imgsz, dtype=jnp.bfloat16)
-    box_logits, cls_logits = q.apply(qw, x)
-    best_box, best_score = decode_top1(box_logits, cls_logits, imgsz, q.reg_max)
-    xy = (best_box[:, :2] - jnp.array([pad_left, pad_top])) / scale
-    wh = (best_box[:, 2:] - best_box[:, :2]) / scale
-    out = jnp.concatenate([xy, wh], axis=-1)
-    return jnp.where((best_score >= conf)[:, None], out, jnp.nan)
+    rows below ``conf``. ``batch_fold`` routes through
+    :meth:`QuantizedYolo.apply_batchfolded` (bit-identical results)."""
+    x, geometry = preprocess_batch(frames, imgsz, dtype=jnp.bfloat16)
+    if batch_fold:
+        box_logits, cls_logits = q.apply_batchfolded(qw, x, batch_fold)
+    else:
+        box_logits, cls_logits = q.apply(qw, x)
+    return top1_source_boxes(box_logits, cls_logits, imgsz, q.reg_max, geometry, conf)
 
 
 def detect_top1_preprocessed_int8(
@@ -654,13 +662,8 @@ def detect_top1_preprocessed_int8(
     """int8 twin of :func:`wtracker_tpu.models.yolov8.detect_top1_preprocessed`
     — top-1 detection on an already-letterboxed (B, h, w, 3) tensor, pairing
     with the fused Pallas crop+letterbox kernel (ops/pallas_preproc.py)."""
-    scale, pad_top, pad_left = geometry
     box_logits, cls_logits = q.apply(qw, x)
-    best_box, best_score = decode_top1(box_logits, cls_logits, imgsz, q.reg_max)
-    xy = (best_box[:, :2] - jnp.array([pad_left, pad_top])) / scale
-    wh = (best_box[:, 2:] - best_box[:, :2]) / scale
-    out = jnp.concatenate([xy, wh], axis=-1)
-    return jnp.where((best_score >= conf)[:, None], out, jnp.nan)
+    return top1_source_boxes(box_logits, cls_logits, imgsz, q.reg_max, geometry, conf)
 
 
 def detect_top1_int8_folded(
@@ -669,13 +672,10 @@ def detect_top1_int8_folded(
 ):
     """Folded-stem twin of :func:`detect_top1_int8`: raw (B, H, W) grayscale
     views, stem computed as letterbox matmuls, int8 graph from b1."""
-    scale, pad_top, pad_left = folded.geometry
     box_logits, cls_logits = q.apply_folded(qw, views, folded, batch_fold=batch_fold)
-    best_box, best_score = decode_top1(box_logits, cls_logits, imgsz, q.reg_max)
-    xy = (best_box[:, :2] - jnp.array([pad_left, pad_top])) / scale
-    wh = (best_box[:, 2:] - best_box[:, :2]) / scale
-    out = jnp.concatenate([xy, wh], axis=-1)
-    return jnp.where((best_score >= conf)[:, None], out, jnp.nan)
+    return top1_source_boxes(
+        box_logits, cls_logits, imgsz, q.reg_max, folded.geometry, conf
+    )
 
 
 def make_detect_fns(
@@ -692,8 +692,9 @@ def make_detect_fns(
     With ``src_hw``/``imgsz`` given and a padding-free letterbox, ``detect``
     runs the folded-stem graph (:meth:`QuantizedYolo.apply_folded`); otherwise
     the standard preprocess→int8 path. ``batch_fold`` (seam rows, multiple of
-    8) additionally batch-folds the layout-bound early stages
-    (:func:`_forward_from_b0_batchfolded`).
+    8) batch-folds the layout-bound early stages on *either* path
+    (:func:`_forward_from_b0_batchfolded`; the padded-letterbox path runs b0
+    in-graph via :meth:`QuantizedYolo.apply_batchfolded`).
     """
     from wtracker_tpu.models.yolov8 import fold_stem_matrices
 
@@ -717,7 +718,9 @@ def make_detect_fns(
     else:
 
         def detect(model, variables, views, imgsz, conf):
-            return detect_top1_int8(q, variables, views, imgsz, conf)
+            # batch folding works with the standard preprocess path too
+            # (apply_batchfolded runs b0 in-graph, then folds from its output)
+            return detect_top1_int8(q, variables, views, imgsz, conf, batch_fold=batch_fold)
 
     def detect_preprocessed(model, variables, x, geometry, imgsz, conf):
         return detect_top1_preprocessed_int8(q, variables, x, geometry, imgsz, conf)

@@ -57,6 +57,13 @@ def _resolve_detect(detect_fn, config: LiveLoopConfig, detector_model, detector_
                 "fold_stem=True needs BN-fused detector variables and a "
                 f"padding-free letterbox, got camera {view_hw} -> imgsz {config.imgsz}"
             )
+        if config.batch_fold:
+            # refusing beats silently measuring the unfolded path as "folded"
+            raise ValueError(
+                "batch_fold on the bf16 path rides the folded-stem graph: it "
+                "needs BN-fused detector variables and a padding-free "
+                f"letterbox (camera {view_hw} -> imgsz {config.imgsz})"
+            )
         return detect_top1
     return folded
 
@@ -458,6 +465,11 @@ def make_stream_batch_fused(
     # an explicit detect_fn built with fuses_render=True (e.g. the int8 hook
     # from sim/render_fused.py) routes straight to the no-views contract
     _fused_rd = _detect if getattr(_detect, "fuses_render", False) else None
+    if config.fuse_render and detect_fn is not None and _fused_rd is None:
+        raise ValueError(
+            "fuse_render=True with an explicit detect_fn requires a "
+            "fuses_render hook (sim/render_fused.py make_fused_render_detect*)"
+        )
     if config.fuse_render and detect_fn is None:
         from wtracker_tpu.sim.render_fused import make_fused_render_detect
 

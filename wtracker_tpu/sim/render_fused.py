@@ -43,24 +43,27 @@ from wtracker_tpu.models.yolov8 import (
     FoldedStem,
     _silu,
     can_fold_stem,
-    decode_top1,
     fold_stem_matrices,
+    stem_weff,
+    top1_source_boxes,
 )
-from wtracker_tpu.sim.synthetic import SyntheticScene
-
-# texture frequencies, fixed in SyntheticScene._texture
-_FX1, _FY1 = 0.07, 0.05  # sin(a·X)·cos(b·Y)
-_FX2, _FY2 = 0.013, 0.017  # 0.5·sin(c·X + d·Y)
+from wtracker_tpu.sim.synthetic import (
+    TEX_FX1 as _FX1,
+    TEX_FX2 as _FX2,
+    TEX_FY1 as _FY1,
+    TEX_FY2 as _FY2,
+    TEXTURE_BOUND,
+    SyntheticScene,
+)
 
 
 def scene_is_clip_free(scene: SyntheticScene) -> bool:
     """True when ``clip(bg + blob, 0, 255)`` is provably the identity.
 
-    The texture term is bounded by ±1.5·amp (one unit-amplitude separable
-    product plus half a unit-amplitude phase-sum sinusoid) and the blob by
-    [0, intensity]."""
-    lo = scene.bg_level - 1.5 * scene.texture_amp
-    hi = scene.bg_level + 1.5 * scene.texture_amp + scene.worm_intensity
+    The texture term is bounded by ±TEXTURE_BOUND·amp (sim/synthetic.py) and
+    the blob by [0, intensity]."""
+    lo = scene.bg_level - TEXTURE_BOUND * scene.texture_amp
+    hi = scene.bg_level + TEXTURE_BOUND * scene.texture_amp + scene.worm_intensity
     return lo >= 0.0 and hi <= 255.0
 
 
@@ -229,27 +232,25 @@ def make_fused_render_detect(
     """
     if not scene_is_clip_free(scene):
         return None
+    if model.compute_dtype != jnp.bfloat16:
+        # the post-stem walker computes in bf16; refusing beats a silent
+        # precision downgrade of an f32-typed detector
+        raise ValueError("fuse_render requires a bf16-compute detector")
     tab = _build_tables(src_hw, imgsz, model.compute_dtype)
     if tab is None:
         return None
-    scale, pad_top, pad_left = tab.geometry
     nc, mscale, reg_max = model.nc, model.scale, model.reg_max
 
     def detect(variables, worm_xys, cam_tls, frame_idx):
         from wtracker_tpu.models.yolov8_int8 import forward_from_b0_bf16
 
         stem = variables["params"]["b0"]["conv"]
-        weff = stem["kernel"].astype(jnp.float32).sum(axis=2).reshape(9, -1)
         z = render_stem(
-            scene, tab, weff, stem["bias"], worm_xys, cam_tls.astype(jnp.float32),
-            frame_idx, src_hw,
+            scene, tab, stem_weff(stem), stem["bias"], worm_xys,
+            cam_tls.astype(jnp.float32), frame_idx, src_hw,
         )
         box_logits, cls_logits = forward_from_b0_bf16(variables, z, nc, mscale, batch_fold)
-        best_box, best_score = decode_top1(box_logits, cls_logits, imgsz, reg_max)
-        xy = (best_box[:, :2] - jnp.array([pad_left, pad_top])) / scale
-        wh = (best_box[:, 2:] - best_box[:, :2]) / scale
-        out = jnp.concatenate([xy, wh], axis=-1)
-        return jnp.where((best_score >= conf)[:, None], out, jnp.nan)
+        return top1_source_boxes(box_logits, cls_logits, imgsz, reg_max, tab.geometry, conf)
 
     detect.fuses_render = True
     return detect
@@ -276,7 +277,6 @@ def make_fused_render_detect_int8(
     tab = _build_tables(src_hw, imgsz, jnp.bfloat16)
     if tab is None:
         return None
-    scale, pad_top, pad_left = tab.geometry
 
     def detect(qw, worm_xys, cam_tls, frame_idx):
         from wtracker_tpu.models.yolov8_int8 import (
@@ -287,15 +287,8 @@ def make_fused_render_detect_int8(
         )
 
         ops = q._apply_ops(qw)
-        s_in = max(q.absmax["__input__"], 1e-6) / 127.0
-        b0 = qw["b0"]
-        weff = (
-            b0["w"].astype(jnp.float32).sum(axis=2).reshape(9, -1)
-            * b0["sw"][None, :]
-            / np.float32(s_in)
-        )
-        z = render_stem(scene, tab, weff, b0["b"], worm_xys, cam_tls.astype(jnp.float32),
-                        frame_idx, src_hw)
+        z = render_stem(scene, tab, q.stem_weff(qw), qw["b0"]["b"], worm_xys,
+                        cam_tls.astype(jnp.float32), frame_idx, src_hw)
         s_b0 = ops._scale_of("b0")
         xq = _QT(_quant(z, s_b0), np.full(z.shape[-1], s_b0))
         if batch_fold:
@@ -304,11 +297,7 @@ def make_fused_render_detect_int8(
             )
         else:
             box_logits, cls_logits = _forward_from_b0(ops, xq, q.nc, q.scale)
-        best_box, best_score = decode_top1(box_logits, cls_logits, imgsz, q.reg_max)
-        xy = (best_box[:, :2] - jnp.array([pad_left, pad_top])) / scale
-        wh = (best_box[:, 2:] - best_box[:, :2]) / scale
-        out = jnp.concatenate([xy, wh], axis=-1)
-        return jnp.where((best_score >= conf)[:, None], out, jnp.nan)
+        return top1_source_boxes(box_logits, cls_logits, imgsz, q.reg_max, tab.geometry, conf)
 
     detect.fuses_render = True
     return detect

@@ -40,6 +40,16 @@ def make_trajectory(
     return pos
 
 
+# texture frequencies of SyntheticScene._texture — shared with the fused
+# render→stem operator (sim/render_fused.py), which reproduces the texture
+# analytically and must stay in lock-step with this form
+TEX_FX1, TEX_FY1 = 0.07, 0.05  # sin(FX1·X)·cos(FY1·Y)
+TEX_FX2, TEX_FY2 = 0.013, 0.017  # 0.5·sin(FX2·X + FY2·Y), expanded separably
+TEXTURE_BOUND = 1.5
+"""Peak |texture| in units of ``texture_amp`` (one unit-amplitude separable
+product plus half a unit-amplitude phase-sum sinusoid)."""
+
+
 @dataclass(frozen=True)
 class SyntheticScene:
     """Parametric scene: background texture + worm appearance.
@@ -64,8 +74,8 @@ class SyntheticScene:
     def _texture(self, xs: jnp.ndarray, ys: jnp.ndarray) -> jnp.ndarray:
         """Separable agar texture over absolute coords (stable under camera
         motion). ``xs``/``ys`` are broadcastable row/column coordinate arrays."""
-        cross = jnp.sin(xs * 0.013) * jnp.cos(ys * 0.017) + jnp.cos(xs * 0.013) * jnp.sin(ys * 0.017)
-        tex = jnp.sin(xs * 0.07) * jnp.cos(ys * 0.05) + 0.5 * cross
+        cross = jnp.sin(xs * TEX_FX2) * jnp.cos(ys * TEX_FY2) + jnp.cos(xs * TEX_FX2) * jnp.sin(ys * TEX_FY2)
+        tex = jnp.sin(xs * TEX_FX1) * jnp.cos(ys * TEX_FY1) + 0.5 * cross
         return self.bg_level + self.texture_amp * tex
 
     def _worm_blob(self, dx: jnp.ndarray, dy: jnp.ndarray, frame_idx) -> jnp.ndarray:
