@@ -31,3 +31,14 @@ def test_parse_xspace_walks_cpu_trace(tmp_path):
 
     module_ps, op_ps, op_n = parse_xspace(str(tmp_path))
     assert module_ps == 0 and op_ps == {} and op_n == {}
+
+
+def test_trace_diff_normalize_groups_instances():
+    """tools/trace_diff groups fusion instances across compiles: counter
+    suffixes and HLO '%' sigils strip, distinct ops stay distinct."""
+    from tools.trace_diff import _normalize
+
+    assert _normalize("fusion.123") == "fusion"
+    assert _normalize("%convolution.42") == "convolution"
+    assert _normalize("jit_step/fusion") == "jit_step/fusion"
+    assert _normalize("copy.1") != _normalize("fusion.1")
