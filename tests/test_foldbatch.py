@@ -122,9 +122,10 @@ def test_batchfolded_bf16_walker_matches_plain(fused_nano_and_views):
         assert np.abs(r - g).max() <= tol, f"batch-fold drift {np.abs(r - g).max()} > {tol}"
 
 
-def test_batchfolded_int8_apply_is_bit_exact(fused_nano_and_views):
+@pytest.mark.parametrize("seam", [8, 16])
+def test_batchfolded_int8_apply_is_bit_exact(fused_nano_and_views, seam):
     """int8 arithmetic is deterministic: the batch-folded int8 forward must be
-    BIT-identical to the plain int8 forward."""
+    BIT-identical to the plain int8 forward (any legal seam)."""
     from wtracker_tpu.models.yolov8 import preprocess_batch
     from wtracker_tpu.models.yolov8_int8 import quantize_detector
 
@@ -134,7 +135,7 @@ def test_batchfolded_int8_apply_is_bit_exact(fused_nano_and_views):
 
     x, _ = preprocess_batch(jnp.asarray(views[8:]), (64, 64), dtype=jnp.bfloat16)
     ref = q.apply(qw, x)
-    got = q.apply_batchfolded(qw, x, batch_fold=8)
+    got = q.apply_batchfolded(qw, x, batch_fold=seam)
     for r, g in zip(list(ref[0]) + list(ref[1]), list(got[0]) + list(got[1])):
         np.testing.assert_array_equal(np.asarray(r, np.float32), np.asarray(g, np.float32))
 
