@@ -166,11 +166,6 @@ def build_flagship(S: int | None = None, n_cycles: int | None = None, chunks: in
     chunks = chunks or int(os.environ.get("BENCH_CHUNKS", "0")) or max(1, round(n_views / 360))
     while n_views % chunks:
         chunks -= 1
-    # batch->height folding of the layout-bound early detector stages
-    # (ops/foldbatch.py); seam rows, multiple of 8, 0 = off
-    batch_fold = int(os.environ.get("BENCH_BATCH_FOLD", "0"))
-    if batch_fold and (batch_fold % 8 or batch_fold < 0):
-        raise SystemExit(f"BENCH_BATCH_FOLD must be a positive multiple of 8, got {batch_fold}")
     cfg = LiveLoopConfig(
         imgsz=(416, 416),
         conf=0.1,
@@ -178,10 +173,6 @@ def build_flagship(S: int | None = None, n_cycles: int | None = None, chunks: in
         log_mode=True,  # detect EVERY frame, like the logging reference loop
         max_dist_per_pred=54.0,
         detect_chunks=chunks,
-        batch_fold=batch_fold,
-        # render->stem fusion (sim/render_fused.py): views computed directly
-        # in stem space (bf16 path only)
-        fuse_render=os.environ.get("BENCH_FUSE_RENDER", "0") == "1",
     )
     scene = SyntheticScene()
     init_pos = np.tile([700, 700], (S, 1))
@@ -205,17 +196,9 @@ def build_flagship(S: int | None = None, n_cycles: int | None = None, chunks: in
             # folded-stem int8 serving path (stem as letterbox matmuls) — the
             # 360->416 bench geometry letterboxes without padding, so this is
             # exactly what track_video.py deploys
-            if cfg.fuse_render:
-                from wtracker_tpu.sim.render_fused import make_fused_render_detect_int8
-
-                detect_int8 = make_fused_render_detect_int8(
-                    q, scene, (params.cam_h, params.cam_w), (416, 416), cfg.conf,
-                    batch_fold=batch_fold,
-                )
-            else:
-                detect_int8, _ = make_detect_fns(
-                    q, src_hw=(params.cam_h, params.cam_w), imgsz=(416, 416), batch_fold=batch_fold
-                )
+            detect_int8, _ = make_detect_fns(
+                q, src_hw=(params.cam_h, params.cam_w), imgsz=(416, 416)
+            )
             return make_stream_batch_fused(
                 params, cfg, scene, trajs, det_model, qw, predictor, detect_fn=detect_int8
             )

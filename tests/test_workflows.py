@@ -331,8 +331,6 @@ def test_experiment_lifecycle_clis(frames_dir, tmp_path_factory):
 
     # 6. track_video with the int8 artifact (auto-detected by file content):
     # the quantized serving path must hold the same tracking-quality bar.
-    # --batch-fold exercises the batch->height folded detector graph
-    # (bit-exact vs the plain int8 forward, tests/test_foldbatch.py)
     _run(
         "track_video.py",
         "--frames", frames_dir,
@@ -343,7 +341,6 @@ def test_experiment_lifecycle_clis(frames_dir, tmp_path_factory):
         "--imgsz", 64,
         "--conf", 0.05,
         "--chunk-cycles", 4,
-        "--batch-fold", 8,
         timeout=900,
     )
     log8 = pd.read_csv(tmp / "track_int8" / "bboxes.csv")

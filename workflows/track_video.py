@@ -36,16 +36,7 @@ def main() -> None:
         help="fused crop+letterbox Pallas kernel (default: auto — on for TPU "
         "backends with square camera/imgsz; measured 3-16x faster)",
     )
-    ap.add_argument(
-        "--batch-fold",
-        type=int,
-        default=0,
-        help="batch->height folding seam (multiple of 8; 0 = off) for the "
-        "detector's layout-bound early conv stages (ops/foldbatch.py)",
-    )
     args = ap.parse_args()
-    if args.batch_fold and args.batch_fold % 8:
-        ap.error("--batch-fold must be a multiple of 8")
 
     import numpy as np
 
@@ -76,7 +67,7 @@ def main() -> None:
         det_variables = q.device_weights()
         cam_hw = (timing.camera_size_px[1], timing.camera_size_px[0])
         detect_fn, detect_preprocessed_fn = make_detect_fns(
-            q, src_hw=cam_hw, imgsz=(args.imgsz, args.imgsz), batch_fold=args.batch_fold
+            q, src_hw=cam_hw, imgsz=(args.imgsz, args.imgsz)
         )
     else:
         det = YoloV8Detector.load(args.detector, imgsz=args.imgsz, conf=args.conf).fuse()
@@ -105,7 +96,6 @@ def main() -> None:
         log_mode=True,
         max_dist_per_pred=max_speed_px_frame * max(predictor.io_config.pred_frames[0], 1),
         use_pallas_preproc=args.pallas_preproc,
-        batch_fold=args.batch_fold,
     )
 
     logs = run_video_live(

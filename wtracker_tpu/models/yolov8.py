@@ -576,38 +576,22 @@ def can_fold_stem(variables: dict) -> bool:
         return False
 
 
-def make_folded_detect(
-    model: YoloV8, src_hw: tuple[int, int], imgsz: tuple[int, int], batch_fold: int = 0
-):
+def make_folded_detect(model: YoloV8, src_hw: tuple[int, int], imgsz: tuple[int, int]):
     """Engine-hook detect_fn running the folded-stem graph, or ``None``.
 
     Signature matches the engines' ``detect_fn`` contract
     ``(model, variables, views, imgsz, conf) -> (B, 4) xywh`` — the model and
     imgsz arguments are ignored in favor of the folded closure.  Requires
-    BN-fused variables (check with :func:`can_fold_stem`).  ``batch_fold``
-    (seam rows, multiple of 8) batch-folds the layout-bound early conv stages
-    (ops/foldbatch.py) via the walker graph in models/yolov8_int8.py.
+    BN-fused variables (check with :func:`can_fold_stem`).
     """
     folded = fold_stem_matrices(src_hw, imgsz, dtype=model.compute_dtype)
     if folded is None:
         return None
-    if batch_fold and model.compute_dtype != jnp.bfloat16:
-        # the walker graph the folded path routes through computes in bf16;
-        # silently downgrading an f32 detector would contradict the
-        # "lowering change only" contract
-        raise ValueError("batch_fold requires a bf16-compute detector")
     rest = model.clone(external_stem=True)
 
     def detect(_model, variables, views, _imgsz, conf):
         z = stem_apply(folded, variables["params"]["b0"]["conv"], views)
-        if batch_fold:
-            from wtracker_tpu.models.yolov8_int8 import forward_from_b0_bf16
-
-            box_logits, cls_logits = forward_from_b0_bf16(
-                variables, z, rest.nc, rest.scale, batch_fold
-            )
-        else:
-            box_logits, cls_logits = rest.apply(variables, z, train=False)
+        box_logits, cls_logits = rest.apply(variables, z, train=False)
         return top1_source_boxes(
             box_logits, cls_logits, imgsz, rest.reg_max, folded.geometry, conf
         )

@@ -82,9 +82,8 @@ def _quant(y_bf16, scale: float):
 class _CalibOps:
     """bf16 forward over the fused variables, recording per-point abs-max.
 
-    With ``record=False`` this doubles as the plain (jit-safe) bf16 walker
-    forward — used by the batch-folded serving graph, where the topology
-    differs from the flax module (:func:`_forward_from_b0_batchfolded`).
+    With ``record=False`` this doubles as a plain (jit-safe) bf16 walker
+    forward (:func:`forward_bf16_reference`).
     """
 
     def __init__(self, params: dict, record: bool = True):
@@ -138,28 +137,6 @@ class _CalibOps:
     def upsample(self, x):
         n, h, w, c = x.shape
         return jax.image.resize(x, (n, h * 2, w * 2, c), method="nearest")
-
-    # -- batch→height folding (ops/foldbatch.py) ----------------------------
-
-    def ksize(self, name) -> int:
-        return self._wb(name)[0].shape[0]
-
-    def rows(self, x) -> int:
-        return x.shape[1]
-
-    def fold(self, x, seam: int):
-        from wtracker_tpu.ops.foldbatch import fold_batch
-
-        return fold_batch(x, seam)
-
-    def unfold(self, x, batch: int, valid_rows: int):
-        from wtracker_tpu.ops.foldbatch import unfold_batch
-
-        return unfold_batch(x, batch, valid_rows)
-
-    def apply_mask(self, x, mask):
-        return jnp.where(mask, x, jnp.zeros((), x.dtype))
-
 
 class _ScaleVec:
     """Build-phase value: per-channel activation scales of an int8 tensor."""
@@ -297,28 +274,6 @@ class _ApplyOps:
         n, h, w, c = x.data.shape
         return _QT(jax.image.resize(x.data, (n, h * 2, w * 2, c), method="nearest"), x.scales)
 
-    # -- batch→height folding (ops/foldbatch.py) ----------------------------
-
-    def ksize(self, name) -> int:
-        return self.qw[name]["w"].shape[0]
-
-    def rows(self, x: _QT) -> int:
-        return x.data.shape[1]
-
-    def fold(self, x: _QT, seam: int):
-        from wtracker_tpu.ops.foldbatch import fold_batch
-
-        return _QT(fold_batch(x.data, seam), x.scales)
-
-    def unfold(self, x: _QT, batch: int, valid_rows: int):
-        from wtracker_tpu.ops.foldbatch import unfold_batch
-
-        return _QT(unfold_batch(x.data, batch, valid_rows), x.scales)
-
-    def apply_mask(self, x: _QT, mask):
-        return _QT(jnp.where(mask, x.data, jnp.zeros((), x.data.dtype)), x.scales)
-
-
 # ---------------------------------------------------------------------------
 # topology (must mirror YoloV8.__call__ exactly — pinned by the parity test)
 # ---------------------------------------------------------------------------
@@ -399,117 +354,11 @@ def _forward_from_b0(ops, x, nc: int, scale: str):
     return box_out, cls_out
 
 
-class _SeamMasked:
-    """Ops wrapper for batch-folded regions: re-zeroes the seam rows before
-    every ≥3×3 convolution (they hold ``silu(bias)`` after the previous conv;
-    pointwise ops pass through untouched — see ops/foldbatch.py)."""
-
-    def __init__(self, ops, masks: dict):
-        self._ops = ops
-        self._masks = masks  # folded row count -> (rows, 1, 1) bool mask
-
-    def convbn(self, name, x, stride=1):
-        if self._ops.ksize(name) >= 3:
-            mask = self._masks.get(self._ops.rows(x))
-            if mask is not None:
-                x = self._ops.apply_mask(x, mask)
-        return self._ops.convbn(name, x, stride)
-
-    def __getattr__(self, attr):
-        return getattr(self._ops, attr)
-
-
-
-
-def _forward_from_b0_batchfolded(ops, z, nc: int, scale: str, batch: int, seam: int = 8):
-    """The post-stem graph with the layout-bound stages batch-folded.
-
-    The round-3 trace showed every conv at the (208², 104², 52²) levels
-    lowering batch-minor at 8-16% MXU (docs/performance.md); here those
-    stages — b1..b4, n15, n16 and the stride-8 head branch — run on one tall
-    (1, B·(h+seam), w, C) image (ops/foldbatch.py) so XLA keeps its efficient
-    channel-minor conv path. Bit-parity with :func:`_forward_from_b0` is
-    pinned by tests/test_foldbatch.py. ``z`` is the stem output (B, h, w, C);
-    ``seam`` must be divisible by 8 (the /8-level seam must stay even for the
-    folded stride-2 ``n16``, and the /16-level refold needs at least 1 row).
-    """
-    assert seam % 8 == 0 and seam > 0, "batch-fold seam must be a positive multiple of 8"
-    depth, width, max_ch = SCALES[scale]
-    chn = lambda c: _make_divisible(min(c, max_ch) * width)
-    rep = lambda n: max(round(n * depth), 1)
-    from wtracker_tpu.ops.foldbatch import unfold_batch
-
-    h_stem = ops.rows(z)  # per-image rows at the stem output (imgsz / 2)
-    h4, s4 = h_stem // 2, seam // 2  # /4 level (104² at imgsz 416)
-    h8, s8 = h4 // 2, s4 // 2  # /8 level (52²)
-    from wtracker_tpu.ops.foldbatch import seam_mask
-
-    masks = {
-        batch * (h4 + s4): seam_mask(batch, h4, s4, jnp.bool_),
-        batch * (h8 + s8): seam_mask(batch, h8, s8, jnp.bool_),
-    }
-    f = _SeamMasked(ops, masks)
-
-    x = ops.fold(z, seam)  # fold seams start genuinely zero — no mask for b1
-    x = f.convbn("b1", x, 2)
-    x = _c2f(f, "b2", x, chn(128), rep(3), True)
-    x = f.convbn("b3", x, 2)
-    p3f = _c2f(f, "b4", x, chn(256), rep(6), True)
-    p3 = ops.unfold(p3f, batch, h8)
-
-    x = ops.convbn("b5", p3, 2)
-    p4 = _c2f(ops, "b6", x, chn(512), rep(6), True)
-    x = ops.convbn("b7", p4, 2)
-    x = _c2f(ops, "b8", x, chn(1024), rep(3), True)
-    p5 = _sppf(ops, "b9", x, chn(1024))
-
-    x = ops.concat([ops.upsample(p5), p4])
-    n4 = _c2f(ops, "n12", x, chn(512), rep(3), False)
-    # refold for the /8 neck: fold n4 at the /16 level (seam s8/2) so its
-    # nearest-upsample lands on the same (h8 + s8) blocks as p3f
-    x = ops.concat([ops.upsample(ops.fold(n4, s8 // 2)), p3f])
-    n3f = _c2f(f, "n15", x, chn(256), rep(3), False)
-
-    x = ops.unfold(f.convbn("n16", n3f, 2), batch, h8 // 2)
-    x = ops.concat([x, n4])
-    n4out = _c2f(ops, "n18", x, chn(512), rep(3), False)
-    x = ops.convbn("n19", n4out, 2)
-    x = ops.concat([x, p5])
-    n5out = _c2f(ops, "n21", x, chn(1024), rep(3), False)
-
-    box_out, cls_out = [], []
-    for i, (feat, e) in enumerate(((n3f, f), (n4out, ops), (n5out, ops))):
-        b = e.convbn(f"head.cv2_{i}_0", feat)
-        b = e.convbn(f"head.cv2_{i}_1", b)
-        b = e.plain_conv(f"head.cv2_{i}_2", b)  # logits: plain arrays in every engine
-        c = e.convbn(f"head.cv3_{i}_0", feat)
-        c = e.convbn(f"head.cv3_{i}_1", c)
-        c = e.plain_conv(f"head.cv3_{i}_2", c)
-        if i == 0:
-            b = unfold_batch(b, batch, h8)
-            c = unfold_batch(c, batch, h8)
-        box_out.append(b)
-        cls_out.append(c)
-    return box_out, cls_out
-
-
 def forward_bf16_reference(fused_variables: dict, x, nc: int, scale: str):
     """The walker's bf16 forward — must equal ``YoloV8(fused=True).apply``
     (tests/test_yolov8_int8.py pins this, so topology drift is caught)."""
     ops = _CalibOps(fused_variables["params"])
     return _forward(ops, x, nc, scale)
-
-
-def forward_from_b0_bf16(fused_variables: dict, z, nc: int, scale: str, batch_fold: int = 0):
-    """jit-safe bf16 post-stem forward over BN-fused variables — the bf16
-    serving twin of :meth:`QuantizedYolo.apply_folded`, with optional
-    batch-folding of the layout-bound stages. ``z`` is the stem output
-    (pair with :func:`wtracker_tpu.models.yolov8.stem_apply`)."""
-    ops = _CalibOps(fused_variables["params"], record=False)
-    z = z.astype(jnp.bfloat16)  # the walker computes in bf16 throughout
-    if batch_fold:
-        return _forward_from_b0_batchfolded(ops, z, nc, scale, z.shape[0], batch_fold)
-    return _forward_from_b0(ops, z, nc, scale)
 
 
 @dataclass(frozen=True)
@@ -533,17 +382,7 @@ class QuantizedYolo:
         # grayscale broadcast: all 3 channels are identical, quantize once
         return _forward(ops, x.astype(jnp.bfloat16), self.nc, self.scale)
 
-    def apply_batchfolded(self, qw: dict, x, batch_fold: int = 8) -> tuple[list, list]:
-        """int8 forward with the layout-bound early stages batch-folded
-        (:func:`_forward_from_b0_batchfolded`); same contract as
-        :meth:`apply`. ``batch_fold`` is the seam row count (multiple of 8).
-        """
-        ops = self._apply_ops(qw)
-        xq = ops.input(x.astype(jnp.bfloat16))
-        xq = ops.convbn("b0", xq, 2)
-        return _forward_from_b0_batchfolded(ops, xq, self.nc, self.scale, x.shape[0], batch_fold)
-
-    def apply_folded(self, qw: dict, views, folded, batch_fold: int = 0) -> tuple[list, list]:
+    def apply_folded(self, qw: dict, views, folded) -> tuple[list, list]:
         """int8 forward on raw grayscale views with the stem computed as
         letterbox matmuls (the 3-channel stem conv has no good TPU layout —
         see :class:`wtracker_tpu.models.yolov8.FoldedStem`).
@@ -561,10 +400,6 @@ class QuantizedYolo:
         z = stem_apply_weff(folded, self.stem_weff(qw), b0["b"], views)
         s_b0 = ops._scale_of("b0")
         xq = _QT(_quant(z, s_b0), np.full(z.shape[-1], s_b0))
-        if batch_fold:
-            return _forward_from_b0_batchfolded(
-                ops, xq, self.nc, self.scale, views.shape[0], batch_fold
-            )
         return _forward_from_b0(ops, xq, self.nc, self.scale)
 
     def stem_weff(self, qw: dict) -> jnp.ndarray:
@@ -641,18 +476,13 @@ def quantize_detector(
 
 
 def detect_top1_int8(
-    q: QuantizedYolo, qw: dict, frames, imgsz: tuple[int, int], conf: float,
-    batch_fold: int = 0,
+    q: QuantizedYolo, qw: dict, frames, imgsz: tuple[int, int], conf: float
 ):
     """int8 twin of :func:`wtracker_tpu.models.yolov8.detect_top1` — same
     contract: (B, H, W[, C]) frames → (B, 4) xywh source-pixel boxes, NaN
-    rows below ``conf``. ``batch_fold`` routes through
-    :meth:`QuantizedYolo.apply_batchfolded` (bit-identical results)."""
+    rows below ``conf``."""
     x, geometry = preprocess_batch(frames, imgsz, dtype=jnp.bfloat16)
-    if batch_fold:
-        box_logits, cls_logits = q.apply_batchfolded(qw, x, batch_fold)
-    else:
-        box_logits, cls_logits = q.apply(qw, x)
+    box_logits, cls_logits = q.apply(qw, x)
     return top1_source_boxes(box_logits, cls_logits, imgsz, q.reg_max, geometry, conf)
 
 
@@ -667,12 +497,11 @@ def detect_top1_preprocessed_int8(
 
 
 def detect_top1_int8_folded(
-    q: QuantizedYolo, qw: dict, views, imgsz: tuple[int, int], conf: float, folded,
-    batch_fold: int = 0,
+    q: QuantizedYolo, qw: dict, views, imgsz: tuple[int, int], conf: float, folded
 ):
     """Folded-stem twin of :func:`detect_top1_int8`: raw (B, H, W) grayscale
     views, stem computed as letterbox matmuls, int8 graph from b1."""
-    box_logits, cls_logits = q.apply_folded(qw, views, folded, batch_fold=batch_fold)
+    box_logits, cls_logits = q.apply_folded(qw, views, folded)
     return top1_source_boxes(
         box_logits, cls_logits, imgsz, q.reg_max, folded.geometry, conf
     )
@@ -682,7 +511,6 @@ def make_detect_fns(
     q: QuantizedYolo,
     src_hw: tuple[int, int] | None = None,
     imgsz: tuple[int, int] | None = None,
-    batch_fold: int = 0,
 ):
     """(detect_fn, detect_preprocessed_fn) closures over one quantized
     detector, matching the engine hooks' ``(model, variables, ...)``
@@ -691,10 +519,7 @@ def make_detect_fns(
 
     With ``src_hw``/``imgsz`` given and a padding-free letterbox, ``detect``
     runs the folded-stem graph (:meth:`QuantizedYolo.apply_folded`); otherwise
-    the standard preprocess→int8 path. ``batch_fold`` (seam rows, multiple of
-    8) batch-folds the layout-bound early stages on *either* path
-    (:func:`_forward_from_b0_batchfolded`; the padded-letterbox path runs b0
-    in-graph via :meth:`QuantizedYolo.apply_batchfolded`).
+    the standard preprocess→int8 path.
     """
     from wtracker_tpu.models.yolov8 import fold_stem_matrices
 
@@ -708,9 +533,7 @@ def make_detect_fns(
         def detect(model, variables, views, imgsz, conf):
             # the folded geometry is built for _imgsz — the runtime argument
             # is ignored, matching make_folded_detect's bf16 closure
-            return detect_top1_int8_folded(
-                q, variables, views, _imgsz, conf, folded, batch_fold=batch_fold
-            )
+            return detect_top1_int8_folded(q, variables, views, _imgsz, conf, folded)
 
         # engines route raw views here instead of the preprocessed branch
         detect.folds_preproc = True
@@ -718,9 +541,7 @@ def make_detect_fns(
     else:
 
         def detect(model, variables, views, imgsz, conf):
-            # batch folding works with the standard preprocess path too
-            # (apply_batchfolded runs b0 in-graph, then folds from its output)
-            return detect_top1_int8(q, variables, views, imgsz, conf, batch_fold=batch_fold)
+            return detect_top1_int8(q, variables, views, imgsz, conf)
 
     def detect_preprocessed(model, variables, x, geometry, imgsz, conf):
         return detect_top1_preprocessed_int8(q, variables, x, geometry, imgsz, conf)

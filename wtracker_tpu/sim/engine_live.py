@@ -48,21 +48,12 @@ def _resolve_detect(detect_fn, config: LiveLoopConfig, detector_model, detector_
         return detect_top1
     folded = None
     if can_fold_stem(detector_variables):
-        folded = make_folded_detect(
-            detector_model, view_hw, config.imgsz, batch_fold=config.batch_fold
-        )
+        folded = make_folded_detect(detector_model, view_hw, config.imgsz)
     if folded is None:
         if config.fold_stem:
             raise ValueError(
                 "fold_stem=True needs BN-fused detector variables and a "
                 f"padding-free letterbox, got camera {view_hw} -> imgsz {config.imgsz}"
-            )
-        if config.batch_fold:
-            # refusing beats silently measuring the unfolded path as "folded"
-            raise ValueError(
-                "batch_fold on the bf16 path rides the folded-stem graph: it "
-                "needs BN-fused detector variables and a padding-free "
-                f"letterbox (camera {view_hw} -> imgsz {config.imgsz})"
             )
         return detect_top1
     return folded
@@ -108,17 +99,6 @@ class LiveLoopConfig:
     padding; ``True`` raises if the geometry can't fold; ``False`` forces the
     standard letterbox→conv path. Exact math (f32 maxdiff ~1e-6), so the
     default flips on everywhere it applies."""
-    batch_fold: int = 0
-    """Batch→height folding seam (multiple of 8; 0 = off) for the detector's
-    layout-bound early conv stages (ops/foldbatch.py) — stacks each detect
-    sub-batch into one tall image so XLA keeps its channel-minor conv path.
-    Applies to the folded-stem detect path only (the flagship loop)."""
-    fuse_render: bool = False
-    """Synthetic-loop only (make_stream_batch_fused): compute the scene render
-    directly in stem space (sim/render_fused.py) — the view tensor is never
-    materialized; the texture costs eight scalar transcendentals per view.
-    Requires a BN-fused detector, padding-free letterbox and a clip-free
-    scene; raises otherwise."""
 
 
 def hybrid_yolo_mlp_controller(
@@ -140,10 +120,6 @@ def hybrid_yolo_mlp_controller(
             ``input_frames`` offsets select ring entries as features.
     """
     _detect = _resolve_detect(detect_fn, config, detector_model, detector_variables, (params.cam_h, params.cam_w))
-    if config.fuse_render or getattr(_detect, "fuses_render", False):
-        raise ValueError(
-            "render->stem fusion needs the fused controller (make_stream_batch_fused)"
-        )
     R = config.ring_size
     L = params.cycle_n
     io = predictor.io_config
@@ -300,10 +276,6 @@ def make_stream_batch_flat(
     # run_engine_streams call (46 MB ~ 0.5 s/window at bench scale)
     gt0 = jnp.asarray(gt_trajs, dtype=jnp.float32)
     _detect = _resolve_detect(detect_fn, config, detector_model, detector_variables, (params.cam_h, params.cam_w))
-    if config.fuse_render or getattr(_detect, "fuses_render", False):
-        raise ValueError(
-            "render->stem fusion needs the fused controller (make_stream_batch_fused)"
-        )
     R = config.ring_size
     L = params.cycle_n
     IM, MV = params.imaging_n, params.moving_n
@@ -462,35 +434,9 @@ def make_stream_batch_fused(
     view_hw = (params.cam_h, params.cam_w)
     consts = {"det": detector_variables, "mlp": predictor.variables}
 
-    # an explicit detect_fn built with fuses_render=True (e.g. the int8 hook
-    # from sim/render_fused.py) routes straight to the no-views contract
-    _fused_rd = _detect if getattr(_detect, "fuses_render", False) else None
-    if config.fuse_render and detect_fn is not None and _fused_rd is None:
-        raise ValueError(
-            "fuse_render=True with an explicit detect_fn requires a "
-            "fuses_render hook (sim/render_fused.py make_fused_render_detect*)"
-        )
-    if config.fuse_render and detect_fn is None:
-        from wtracker_tpu.sim.render_fused import make_fused_render_detect
-
-        if can_fold_stem(detector_variables):
-            _fused_rd = make_fused_render_detect(
-                detector_model, scene, view_hw, config.imgsz, config.conf,
-                batch_fold=config.batch_fold,
-            )
-        if _fused_rd is None:
-            raise ValueError(
-                "fuse_render=True needs the built-in bf16 detector with BN-fused "
-                "variables, a padding-free letterbox and a clip-free scene "
-                f"(camera {view_hw} -> imgsz {config.imgsz})"
-            )
-
     def _render_detect(consts, worm_xy, cam_tls, fidx):
-        if _fused_rd is not None:
-            boxes = _fused_rd(consts["det"], worm_xy, cam_tls, fidx)
-        else:
-            views = scene.render_views(worm_xy, cam_tls.astype(jnp.float32), view_hw, fidx)
-            boxes = _detect(detector_model, consts["det"], views, config.imgsz, config.conf)
+        views = scene.render_views(worm_xy, cam_tls.astype(jnp.float32), view_hw, fidx)
+        boxes = _detect(detector_model, consts["det"], views, config.imgsz, config.conf)
         return boxes.at[:, :2].add(cam_tls.astype(boxes.dtype))
 
     def detect_flat(consts, worm_xy_flat, cam_tls_flat, fidx_flat):

@@ -76,11 +76,6 @@ def video_live_controller(
     C, H, W = chunk_shape
 
     _detect = _resolve_detect(detect_fn, config, detector_model, detector_variables, view_hw)
-    if config.fuse_render or getattr(_detect, "fuses_render", False):
-        raise ValueError(
-            "render->stem fusion is synthetic-scene only (sim/render_fused.py); "
-            "the video path detects on real frames"
-        )
     square = params.cam_w == params.cam_h and config.imgsz[0] == config.imgsz[1]
     if config.use_pallas_preproc is None:  # auto: Mosaic needs a real TPU
         use_pallas = square and jax.default_backend() == "tpu"

@@ -40,9 +40,8 @@ def make_trajectory(
     return pos
 
 
-# texture frequencies of SyntheticScene._texture — shared with the fused
-# render→stem operator (sim/render_fused.py), which reproduces the texture
-# analytically and must stay in lock-step with this form
+# texture frequencies of SyntheticScene._texture, exposed for analysis
+# tooling that reproduces the texture analytically
 TEX_FX1, TEX_FY1 = 0.07, 0.05  # sin(FX1·X)·cos(FY1·Y)
 TEX_FX2, TEX_FY2 = 0.013, 0.017  # 0.5·sin(FX2·X + FY2·Y), expanded separably
 TEXTURE_BOUND = 1.5
