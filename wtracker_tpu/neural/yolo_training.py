@@ -126,7 +126,7 @@ def task_aligned_assigner(
     target_scores = jnp.zeros_like(cls_scores)
     cls_of_best = gt_cls[best_gt].astype(jnp.int32)
     target_scores = target_scores.at[jnp.arange(A), cls_of_best].set(
-        jnp.where(fg_mask, anchor_score, 0.0)
+        jnp.where(fg_mask, anchor_score, 0.0).astype(target_scores.dtype)
     )
     return fg_mask, best_gt, target_scores
 
