@@ -355,29 +355,45 @@ def decode_top1(
     the argmax is identical) and runs the DFL expectation only for that one
     anchor — the decode-everything path softmaxes 16 bins × 4 sides for every
     anchor and was the largest elementwise share of the live loop
-    (divide_multiply fusions, docs/performance.md). Numerically identical to
+    (divide_multiply fusions, docs/performance.md). The selection runs
+    level-by-level: concatenating the per-level box logits first would
+    materialize a (B, A_total, 4·reg_max) tensor plus a layout copy of the
+    stride-8 level — ~7 ms/cycle of pure HBM traffic at flagship geometry
+    (round-3 device trace) — while three per-level gathers read only the
+    winning rows. Tie-breaks match the concat form: ``argmax`` returns the
+    first maximum both within a level and across the level stack, which is
+    exactly concatenation order. Numerically identical to
     ``decode_predictions`` + argmax.
     """
     b = box_logits[0].shape[0]
-    box_flat = jnp.concatenate([t.reshape(b, -1, 4 * reg_max) for t in box_logits], axis=1)
-    cls_flat = jnp.concatenate([t.reshape(b, -1, t.shape[-1]) for t in cls_logits], axis=1)
-
     anchors, strides = make_anchors(imgsz)
-    anchors = jnp.asarray(anchors)
-    strides = jnp.asarray(strides)
 
-    top_logit = jnp.max(cls_flat.astype(jnp.float32), axis=-1)  # (B, A)
-    idx = jnp.argmax(top_logit, axis=-1)  # (B,)
-    best_score = jax.nn.sigmoid(jnp.take_along_axis(top_logit, idx[:, None], axis=1)[:, 0])
+    lvl_best, lvl_idx, lvl_dist, lvl_anchor, lvl_stride = [], [], [], [], []
+    offset = 0
+    for box_t, cls_t in zip(box_logits, cls_logits):
+        a_l = cls_t.shape[1] * cls_t.shape[2]
+        top_l = jnp.max(cls_t.reshape(b, a_l, -1).astype(jnp.float32), axis=-1)  # (B, Al)
+        idx_l = jnp.argmax(top_l, axis=-1)  # (B,)
+        lvl_best.append(jnp.take_along_axis(top_l, idx_l[:, None], axis=1)[:, 0])
+        lvl_idx.append(idx_l)
+        box_l = box_t.reshape(b, a_l, 4 * reg_max)
+        lvl_dist.append(jnp.take_along_axis(box_l, idx_l[:, None, None], axis=1)[:, 0])
+        lvl_anchor.append(jnp.take(jnp.asarray(anchors[offset : offset + a_l]), idx_l, axis=0))
+        lvl_stride.append(jnp.take(jnp.asarray(strides[offset : offset + a_l]), idx_l, axis=0))
+        offset += a_l
 
-    dist = jnp.take_along_axis(box_flat, idx[:, None, None], axis=1)[:, 0]  # (B, 4*reg_max)
+    best = jnp.stack(lvl_best, axis=1)  # (B, L)
+    lvl = jnp.argmax(best, axis=-1)  # (B,)
+    best_score = jax.nn.sigmoid(jnp.take_along_axis(best, lvl[:, None], axis=1)[:, 0])
+
+    dist = jnp.take_along_axis(jnp.stack(lvl_dist, axis=1), lvl[:, None, None], axis=1)[:, 0]
     dist = dist.reshape(b, 4, reg_max).astype(jnp.float32)
     bins = jnp.arange(reg_max, dtype=jnp.float32)
     e = jnp.exp(dist - jnp.max(dist, axis=-1, keepdims=True))
     ltrb = jnp.sum(e * bins, axis=-1) / jnp.sum(e, axis=-1)  # (B, 4)
 
-    anchor = jnp.take(anchors, idx, axis=0)  # (B, 2)
-    stride = jnp.take(strides, idx, axis=0)  # (B, 1)
+    anchor = jnp.take_along_axis(jnp.stack(lvl_anchor, axis=1), lvl[:, None, None], axis=1)[:, 0]
+    stride = jnp.take_along_axis(jnp.stack(lvl_stride, axis=1), lvl[:, None, None], axis=1)[:, 0]
     tl = (anchor - ltrb[:, :2]) * stride
     br = (anchor + ltrb[:, 2:]) * stride
     return jnp.concatenate([tl, br], axis=-1), best_score
