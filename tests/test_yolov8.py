@@ -212,6 +212,38 @@ def test_decode_top1_equals_full_decode(rng):
     np.testing.assert_allclose(np.asarray(got_box), want_box, atol=1e-4)
 
 
+def test_decode_top1_tiebreak_matches_concat_argmax(rng):
+    """Exact score ties must resolve to the first anchor in level-concat order
+    (the contract the level-wise selection reproduces: argmax returns the
+    first maximum both within a level and across the level stack)."""
+    import jax.numpy as jnp
+
+    from wtracker_tpu.models.yolov8 import decode_predictions, decode_top1
+
+    imgsz = (64, 64)
+    B, reg_max, nc = 4, 16, 2
+    box_lv, cls_lv = [], []
+    for s in (8, 16, 32):
+        h = w = imgsz[0] // s
+        box_lv.append(jnp.asarray(rng.normal(size=(B, h, w, 4 * reg_max)).astype(np.float32)))
+        # a constant logit plane: EVERY anchor ties at the top score
+        cls_lv.append(jnp.full((B, h, w, nc), 0.73, jnp.float32))
+    # image 1: put the same tied maximum only in levels 1 and 2
+    cls_lv[0] = cls_lv[0].at[1].set(0.5)
+    # image 2: a unique winner in the last level, ties elsewhere below it
+    cls_lv[2] = cls_lv[2].at[2, 1, 1, 0].set(2.0)
+
+    boxes, scores = decode_predictions(box_lv, cls_lv, imgsz, reg_max)
+    top = np.max(np.asarray(scores), axis=-1)
+    idx = np.argmax(top, axis=-1)
+    want_box = np.asarray(boxes)[np.arange(B), idx]
+    want_score = top[np.arange(B), idx]
+
+    got_box, got_score = decode_top1(box_lv, cls_lv, imgsz, reg_max)
+    np.testing.assert_array_equal(np.asarray(got_score), want_score)
+    np.testing.assert_allclose(np.asarray(got_box), want_box, atol=1e-5)
+
+
 def test_letterbox_bf16_close_to_f32(rng):
     """The bf16 letterbox (used by bf16-compute detectors) stays within bf16
     rounding of the f32 path."""
