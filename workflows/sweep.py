@@ -94,13 +94,20 @@ def main() -> None:
         n_cycles = 0
         buckets = bucket_by_cycle_shape(timings)
         for bucket in buckets:
+            # bucket sizes are set by the timing regimes, not the user, so a
+            # mesh run pads each bucket to a device multiple by repeating the
+            # last experiment (same timing ⇒ same cycle shape); padded slots
+            # are recomputed duplicates whose frames are simply not collected
+            run = list(bucket)
+            if mesh is not None:
+                run += [bucket[-1]] * ((-len(bucket)) % mesh.devices.size)
             params, geometry = geometry_from_configs(
-                [timings[i] for i in bucket], [exps[i] for i in bucket]
+                [timings[i] for i in run], [exps[i] for i in run]
             )
             ctl = csv_controller_hetero(
-                pad_worm_tables([tables[i] for i in bucket]), params, geometry
+                pad_worm_tables([tables[i] for i in run]), params, geometry
             )
-            init = np.asarray([exps[i].init_position for i in bucket])
+            init = np.asarray([exps[i].init_position for i in run])
             out = run_sweep_hetero(params, geometry, ctl, init, mesh=mesh)
             for j, i in enumerate(bucket):
                 frames[i] = out[j]

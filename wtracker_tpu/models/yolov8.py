@@ -410,14 +410,25 @@ def top1_source_boxes(
     """Top-1 decode → letterbox un-mapping → confidence mask.
 
     The shared tail of every detect entry point (bf16, int8, folded-stem,
-    fused-render): (B, 4) xywh in *source* pixels, NaN rows below ``conf``
+    mixed-geometry): (B, 4) xywh in *source* pixels, NaN rows below ``conf``
     (the reference's ``max_det=1`` contract, yolo_controller.py:80-90).
-    ``geometry`` is the letterbox ``(scale, pad_top, pad_left)``.
+    ``geometry`` is the letterbox ``(scale, pad_top, pad_left)`` — scalars for
+    one shared geometry, or (B,) arrays for per-sample geometries
+    (engine_hetero's per-stream camera sizes).
     """
     scale, pad_top, pad_left = geometry
+    sc = jnp.asarray(scale)
+    if sc.ndim:  # per-sample geometries: (B,) -> (B, 1) against (B, 2) boxes
+        pad = jnp.stack([jnp.asarray(pad_left), jnp.asarray(pad_top)], axis=-1)
+        sc = sc[..., None]
+    else:  # scalar path: keep the exact original construction (strong-typed
+        # list literal — under x64 it promotes the tail to f64, and the
+        # byte-parity CSVs are pinned to those low bits)
+        pad = jnp.array([pad_left, pad_top])
+        sc = scale
     best_box, best_score = decode_top1(box_logits, cls_logits, imgsz, reg_max)
-    xy = (best_box[:, :2] - jnp.array([pad_left, pad_top])) / scale
-    wh = (best_box[:, 2:] - best_box[:, :2]) / scale
+    xy = (best_box[:, :2] - pad) / sc
+    wh = (best_box[:, 2:] - best_box[:, :2]) / sc
     out = jnp.concatenate([xy, wh], axis=-1)
     return jnp.where((best_score >= conf)[:, None], out, jnp.nan)
 
@@ -684,7 +695,6 @@ class YoloV8Detector:
         from wtracker_tpu.ops.nms import batched_nms
 
         frames = jnp.asarray(frames)
-        src_hw = frames.shape[1:3]
         x, (scale, pad_top, pad_left) = preprocess_batch(frames, self.imgsz)
         box_logits, cls_logits = self.model.apply(self.variables, x, train=False)
         boxes, scores = decode_predictions(box_logits, cls_logits, self.imgsz, self.model.reg_max)

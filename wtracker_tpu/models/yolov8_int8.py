@@ -357,7 +357,7 @@ def _forward_from_b0(ops, x, nc: int, scale: str):
 def forward_bf16_reference(fused_variables: dict, x, nc: int, scale: str):
     """The walker's bf16 forward — must equal ``YoloV8(fused=True).apply``
     (tests/test_yolov8_int8.py pins this, so topology drift is caught)."""
-    ops = _CalibOps(fused_variables["params"])
+    ops = _CalibOps(fused_variables["params"], record=False)
     return _forward(ops, x, nc, scale)
 
 

@@ -307,7 +307,17 @@ def augment_batch(
     """
     k_m, k_s, k_p = jax.random.split(rng, 3)
     if cfg.mosaic > 0:
-        images, gt, cls, mask = mosaic_augment(k_m, images, gt, cls, mask, cfg.mosaic if mosaic_on else 0.0)
+        if mosaic_on:
+            images, gt, cls, mask = mosaic_augment(k_m, images, gt, cls, mask, cfg.mosaic)
+        else:
+            # close_mosaic epochs: keep the 4·G gt capacity (the epoch fn is
+            # compiled per mosaic_on flag, but downstream shapes must match)
+            # without tracing the discarded tiling/gather work — XLA cannot
+            # dead-code a p=0 jnp.where branch
+            B, G = gt.shape[0], gt.shape[1]
+            gt = jnp.concatenate([gt, jnp.zeros((B, 3 * G, 4), gt.dtype)], axis=1)
+            cls = jnp.concatenate([cls, jnp.zeros((B, 3 * G), cls.dtype)], axis=1)
+            mask = jnp.concatenate([mask, jnp.zeros((B, 3 * G), bool)], axis=1)
     images, gt, mask = spatial_augment(k_s, images, gt, mask, cfg)
     images = photometric_augment(k_p, images, cfg)
     return images, gt, cls, mask

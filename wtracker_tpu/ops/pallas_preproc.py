@@ -37,6 +37,22 @@ _TILE_H = 32
 _TILE_W = 128
 
 
+def tpu_backend_available() -> bool:
+    """True when the default backend can lower Mosaic kernels.
+
+    ``jax.default_backend() == "tpu"`` alone can miss nonstandard TPU
+    plugins (the axon tunnel may report "axon"/"lite" platform strings), so
+    match the same substrings the hardware tests accept
+    (tests/test_pallas_preproc.py::_tpu_available).
+    """
+    try:
+        name = jax.default_backend().lower()
+        platform = jax.devices()[0].platform.lower()
+    except Exception:
+        return False
+    return any(tag in name or tag in platform for tag in ("tpu", "axon", "lite"))
+
+
 def _win_hw(cam: int) -> tuple[int, int]:
     """DMA window (h, w): covers cam plus the worst residual shift (tile−1),
     rounded up to tile multiples (Mosaic requires tile-aligned slice shapes)."""

@@ -226,7 +226,7 @@ def yolo_mlp_controller_hetero(
             ``QuantizedYolo.apply`` for the int8 serving path (decode and
             per-geometry unletterboxing stay shared).
     """
-    from wtracker_tpu.models.yolov8 import decode_top1
+    from wtracker_tpu.models.yolov8 import top1_source_boxes
     from wtracker_tpu.ops.image import letterbox_indexed, make_letterbox_matrices
 
     S = gt_trajs.shape[0]
@@ -290,15 +290,12 @@ def yolo_mlp_controller_hetero(
             dtype=detector_model.compute_dtype,
         )
         box_logits, cls_logits = _forward(consts["det"], x)
-        best_box, best_score = decode_top1(
-            box_logits, cls_logits, config.imgsz, detector_model.reg_max
+        sc = jnp.take(consts["geom_scale"], gids)
+        pd = jnp.take(consts["geom_pad"], gids, axis=0)  # (B, 2) as (left, top)
+        out = top1_source_boxes(
+            box_logits, cls_logits, config.imgsz, detector_model.reg_max,
+            (sc, pd[:, 1], pd[:, 0]), config.conf,
         )
-        sc = jnp.take(consts["geom_scale"], gids)[:, None]
-        pd = jnp.take(consts["geom_pad"], gids, axis=0)
-        xy = (best_box[:, :2] - pd) / sc
-        wh = (best_box[:, 2:] - best_box[:, :2]) / sc
-        out = jnp.concatenate([xy, wh], axis=-1)
-        out = jnp.where((best_score >= config.conf)[:, None], out, jnp.nan)
         return out.at[:, :2].add(cam_tls.astype(out.dtype))
 
     def detect_flat(consts, worm_xy, cam_tls, fidx, gids, per_view):

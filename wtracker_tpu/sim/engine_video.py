@@ -78,7 +78,9 @@ def video_live_controller(
     _detect = _resolve_detect(detect_fn, config, detector_model, detector_variables, view_hw)
     square = params.cam_w == params.cam_h and config.imgsz[0] == config.imgsz[1]
     if config.use_pallas_preproc is None:  # auto: Mosaic needs a real TPU
-        use_pallas = square and jax.default_backend() == "tpu"
+        from wtracker_tpu.ops.pallas_preproc import tpu_backend_available
+
+        use_pallas = square and tpu_backend_available()
     else:
         use_pallas = config.use_pallas_preproc and square
     if getattr(_detect, "folds_preproc", False):
