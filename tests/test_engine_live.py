@@ -229,15 +229,23 @@ def test_chunked_detect_equals_single_batch():
     assert row_close.mean() >= 0.995, f"only {row_close.mean():.3f} of rows match"
 
     # the python-unrolled chunk loop is the SAME per-chunk computation as the
-    # lax.map form (just a different loop construct), so unlike the k=1 case
-    # above it must match the k=4 run bit-for-bit
+    # lax.map form (just a different loop construct) at the SAME chunk batch
+    # size — but XLA may fuse/schedule the unrolled iterations differently
+    # than the shared map body, so bit-identity is not a contract we can pin.
+    # Deliberate contract (VERDICT r3 item 8): same rare-row allowance as the
+    # k=1 comparison — a real chunk-indexing bug breaks ~all rows, a last-ulp
+    # conv difference flips at most an argmax tie on rare views.
     ctl4u = make_stream_batch_fused(
         params,
         LiveLoopConfig(**base, detect_chunks=4, detect_unroll=True),
         SyntheticScene(), trajs, model, variables, predictor,
     )
     logs4u = run_engine_streams(params, ctl4u, init, 4, delayed_log=True)
-    assert np.array_equal(np.asarray(logs4.positions), np.asarray(logs4u.positions))
-    bm, bu = np.asarray(logs4.worm_bboxes), np.asarray(logs4u.worm_bboxes)
-    assert np.array_equal(np.isnan(bm), np.isnan(bu))
-    assert np.array_equal(np.nan_to_num(bm), np.nan_to_num(bu))
+    pm = np.asarray(logs4.positions).reshape(-1, 2)
+    pu = np.asarray(logs4u.positions).reshape(-1, 2)
+    upos_same = np.all(np.abs(pm - pu) <= 2, axis=1)
+    assert upos_same.mean() >= 0.995, f"only {upos_same.mean():.3f} of positions match"
+    bm = np.asarray(logs4.worm_bboxes).reshape(-1, 4)
+    bu = np.asarray(logs4u.worm_bboxes).reshape(-1, 4)
+    urow_close = np.all(np.isclose(bm, bu, atol=1e-4, equal_nan=True), axis=1)
+    assert urow_close.mean() >= 0.995, f"only {urow_close.mean():.3f} of rows match"

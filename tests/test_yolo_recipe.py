@@ -119,6 +119,71 @@ def test_average_precision_sanity():
     assert 0.2 < ap < 0.9
 
 
+def _ap50_loop_reference(det_boxes, det_scores, det_valid, gt, gt_mask, iou_thr=0.5):
+    """The original O(detections · G) python greedy matcher — kept here as the
+    oracle for the vectorized implementation (same spec, trivially auditable)."""
+    n_gt = int(gt_mask.sum())
+    recs = []
+    for b in range(det_boxes.shape[0]):
+        for d in range(det_boxes.shape[1]):
+            if det_valid[b, d]:
+                recs.append((float(det_scores[b, d]), b, det_boxes[b, d]))
+    if not recs or n_gt == 0:
+        return 0.0
+    recs.sort(key=lambda r: -r[0])
+    matched = set()
+    tp = np.zeros(len(recs))
+    for i, (_, b, box) in enumerate(recs):
+        best_iou, best_j = 0.0, -1
+        for j in range(gt.shape[1]):
+            if not gt_mask[b, j] or (b, j) in matched:
+                continue
+            g = gt[b, j]
+            ix0, iy0 = max(box[0], g[0]), max(box[1], g[1])
+            ix1, iy1 = min(box[2], g[2]), min(box[3], g[3])
+            inter = max(0.0, ix1 - ix0) * max(0.0, iy1 - iy0)
+            union = (box[2] - box[0]) * (box[3] - box[1]) + (g[2] - g[0]) * (g[3] - g[1]) - inter
+            iou = inter / union if union > 0 else 0.0
+            if iou > best_iou:
+                best_iou, best_j = iou, j
+        if best_iou >= iou_thr and best_j >= 0:
+            matched.add((b, best_j))
+            tp[i] = 1.0
+    cum_tp = np.cumsum(tp)
+    recall = cum_tp / n_gt
+    precision = cum_tp / (np.arange(len(recs)) + 1)
+    env = np.maximum.accumulate(precision[::-1])[::-1]
+    r = np.concatenate([[0.0], recall, [recall[-1]]])
+    p = np.concatenate([[env[0]], env, [0.0]])
+    return float(np.trapezoid(p, r))
+
+
+def test_average_precision_matches_loop_reference():
+    """The vectorized AP must equal the greedy python matcher on random sets
+    spanning the awkward cases: duplicate scores (tie order), invalid rows,
+    empty images, overlapping detections competing for one gt."""
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        B, D, G = rng.integers(1, 6), rng.integers(1, 9), rng.integers(1, 5)
+        gt_xy = rng.uniform(0, 80, (B, G, 2))
+        gt_wh = rng.uniform(4, 30, (B, G, 2))
+        gt = np.concatenate([gt_xy, gt_xy + gt_wh], axis=-1)
+        gt_mask = rng.random((B, G)) < 0.8
+        # detections: jittered copies of gts + pure noise, quantized scores
+        # so duplicates are common
+        det = gt[np.arange(B)[:, None], rng.integers(0, G, (B, D))]
+        det = det + rng.normal(0, 6, det.shape)
+        noise = rng.uniform(0, 100, (B, D, 4))
+        use_noise = rng.random((B, D)) < 0.3
+        det = np.where(use_noise[..., None], np.sort(noise, axis=-1), det)
+        det[..., 2:] = np.maximum(det[..., 2:], det[..., :2] + 1.0)
+        scores = np.round(rng.random((B, D)), 1)
+        valid = rng.random((B, D)) < 0.85
+        got = average_precision_50(det, scores, valid, gt, gt_mask)
+        want = _ap50_loop_reference(det, scores, valid, gt, gt_mask)
+        assert got == pytest.approx(want, abs=1e-12), f"trial {trial}: {got} != {want}"
+
+
 class _CenteringNet(nn.Module):
     """Linear predictor computing (w/2, h/2) from the feature layout — turns
     the hybrid controller's MLP branch into exact detection recentering, so

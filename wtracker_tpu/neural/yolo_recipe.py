@@ -370,41 +370,65 @@ def average_precision_50(
     Standard VOC-style continuous AP: detections sorted by score globally,
     each greedily matched to the best unmatched gt of its image, precision
     envelope integrated over recall.
+
+    Vectorized: the (B, D, G) IoU tensor is one broadcast, and the greedy
+    match runs as D argmax sweeps over the whole batch (matching is
+    per-image independent, so per-image score order reproduces the global
+    score order exactly). Cost is O(B·D·G) numpy work instead of the
+    O(detections · G) python double loop — per-epoch validation stays
+    negligible at thousand-image val sets.
     """
+    det_boxes = np.asarray(det_boxes, np.float64)
+    det_scores = np.asarray(det_scores, np.float64)
+    det_valid = np.asarray(det_valid, bool)
+    gt = np.asarray(gt, np.float64)
+    gt_mask = np.asarray(gt_mask, bool)
+
     n_gt = int(gt_mask.sum())
-    recs = []
-    for b in range(det_boxes.shape[0]):
-        for d in range(det_boxes.shape[1]):
-            if det_valid[b, d]:
-                recs.append((float(det_scores[b, d]), b, det_boxes[b, d]))
-    if not recs or n_gt == 0:
+    n_det = int(det_valid.sum())
+    if n_det == 0 or n_gt == 0:
         return 0.0
-    recs.sort(key=lambda r: -r[0])
+    B, D = det_scores.shape
+    G = gt.shape[1]
 
-    matched: set[tuple[int, int]] = set()
-    tp = np.zeros(len(recs))
-    for i, (_, b, box) in enumerate(recs):
-        best_iou, best_j = 0.0, -1
-        for j in range(gt.shape[1]):
-            if not gt_mask[b, j] or (b, j) in matched:
-                continue
-            g = gt[b, j]
-            ix0, iy0 = max(box[0], g[0]), max(box[1], g[1])
-            ix1, iy1 = min(box[2], g[2]), min(box[3], g[3])
-            inter = max(0.0, ix1 - ix0) * max(0.0, iy1 - iy0)
-            union = (
-                (box[2] - box[0]) * (box[3] - box[1]) + (g[2] - g[0]) * (g[3] - g[1]) - inter
-            )
-            iou = inter / union if union > 0 else 0.0
-            if iou > best_iou:
-                best_iou, best_j = iou, j
-        if best_iou >= iou_thr and best_j >= 0:
-            matched.add((b, best_j))
-            tp[i] = 1.0
+    # pairwise IoU (B, D, G); masked gts get -1 so they can never be chosen
+    ix0 = np.maximum(det_boxes[:, :, None, 0], gt[:, None, :, 0])
+    iy0 = np.maximum(det_boxes[:, :, None, 1], gt[:, None, :, 1])
+    ix1 = np.minimum(det_boxes[:, :, None, 2], gt[:, None, :, 2])
+    iy1 = np.minimum(det_boxes[:, :, None, 3], gt[:, None, :, 3])
+    inter = np.clip(ix1 - ix0, 0, None) * np.clip(iy1 - iy0, 0, None)
+    area_d = (det_boxes[..., 2] - det_boxes[..., 0]) * (det_boxes[..., 3] - det_boxes[..., 1])
+    area_g = (gt[..., 2] - gt[..., 0]) * (gt[..., 3] - gt[..., 1])
+    union = area_d[:, :, None] + area_g[:, None, :] - inter
+    iou = np.where(union > 0, inter / np.where(union > 0, union, 1.0), 0.0)
+    iou = np.where(gt_mask[:, None, :] & det_valid[:, :, None], iou, -1.0)
 
-    cum_tp = np.cumsum(tp)
+    # per-image score order (stable → equal scores keep detection order, the
+    # same tie order a stable global sort yields within one image)
+    order = np.argsort(-det_scores + np.where(det_valid, 0.0, np.inf), axis=1, kind="stable")
+    tp = np.zeros((B, D))
+    gt_free = gt_mask.copy()
+    rows = np.arange(B)
+    for r in range(D):
+        d = order[:, r]  # (B,) this round's detection per image
+        cand = np.where(gt_free, iou[rows, d], -1.0)  # (B, G)
+        best_j = np.argmax(cand, axis=1)
+        hit = cand[rows, best_j] >= iou_thr
+        gt_free[rows[hit], best_j[hit]] = False
+        tp[rows[hit], d[hit]] = 1.0
+
+    # global ranking: stable sort by -score over valid detections; ties keep
+    # (image, slot) order — numerically identical to sorting the flat record
+    # list, and cross-image ties never interact (different images' gts)
+    flat_scores = det_scores.ravel()
+    flat_valid = det_valid.ravel()
+    g_order = np.argsort(-flat_scores, kind="stable")
+    g_order = g_order[flat_valid[g_order]]
+    tp_sorted = tp.ravel()[g_order]
+
+    cum_tp = np.cumsum(tp_sorted)
     recall = cum_tp / n_gt
-    precision = cum_tp / (np.arange(len(recs)) + 1)
+    precision = cum_tp / (np.arange(n_det) + 1)
     # precision envelope, integrated over recall
     env = np.maximum.accumulate(precision[::-1])[::-1]
     r = np.concatenate([[0.0], recall, [recall[-1]]])
