@@ -141,6 +141,47 @@ def test_sweep_cli_mixed_timing_buckets(base):
 
 
 @heavy_cli
+def test_sweep_cli_reference_preset_set(tmp_path):
+    """The shipped exp0–exp4 presets (regenerated equivalents of the
+    reference's five experiment configs, /root/reference/experiments/exp*/
+    exp_config.json) replay as ONE mixed-geometry sweep — the reference's
+    full experiment set in a single command (docs/workflows.md)."""
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "configs")
+    exp_cfgs, timing_cfgs, csvs = [], [], []
+    specs = []
+    for i in range(5):
+        p = os.path.join(cfg_dir, f"exp{i}_config.json")
+        exp_cfgs.append(p)
+        timing_cfgs.append(os.path.join(cfg_dir, f"exp{i}_timing.json"))
+        specs.append(json.load(open(p)))
+        csv = tmp_path / f"worm{i}.csv"
+        make_worm_csv(str(csv), num_frames=specs[-1]["num_frames"], seed=i)
+        csvs.append(csv)
+
+    # the preset set spans the reference's geometry range
+    assert [s["num_frames"] for s in specs] == [61200, 65000, 65000, 65000, 65000]
+    assert sorted({s["px_per_mm"] for s in specs}) == [88, 90, 92]
+    assert all(s["frames_per_sec"] == 60 for s in specs)
+    for s, t in zip(specs, (json.load(open(p)) for p in timing_cfgs)):
+        assert t["imaging_frame_num"] == 12 and t["pred_frame_num"] == 3
+        assert t["camera_size_px"] == [round(4.0 * s["px_per_mm"])] * 2
+
+    _run(
+        "sweep.py",
+        "--exp-configs", *exp_cfgs,
+        "--timing-configs", *timing_cfgs,
+        "--worm-csvs", *csvs,
+        "--output", tmp_path / "out",
+    )
+    cams = set()
+    for i, s in enumerate(specs):
+        df = pd.read_csv(tmp_path / "out" / f"exp{i}" / "bboxes.csv")
+        assert len(df) == ((s["num_frames"] - 1) // 15) * 15  # full-length replay
+        cams.add(int(df["cam_w"].iloc[0]))
+    assert cams == {352, 360, 368}  # px_per_mm 88/90/92 camera quantization
+
+
+@heavy_cli
 def test_predictor_training_cli(base, sim_out):
     tmp, exp, timing = base
     _run(
