@@ -77,7 +77,7 @@ def main() -> None:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 capture_output=True,
-                timeout=2700,  # headline + int8 config, two cold compiles worst-case
+                timeout=3300,  # headline + int8 + latency phase, cold compiles worst-case
                 text=True,
                 env=env,
             )
@@ -178,10 +178,16 @@ def build_flagship(S: int | None = None, n_cycles: int | None = None, chunks: in
     init_pos = np.tile([700, 700], (S, 1))
     steps = S * N_CYCLES * params.cycle_n
 
-    def make_ctl(variant: str = "bf16"):
-        if variant == "bf16":
-            return make_stream_batch_fused(params, cfg, scene, trajs, det_model, det_vars, predictor)
-        if variant == "int8":
+    _int8_cache: dict = {}
+
+    def int8_path():
+        """(quantized weights, folded-stem int8 detect_fn), built once.
+
+        Folded-stem serving path (stem as letterbox matmuls) — the 360->416
+        bench geometry letterboxes without padding, so this is exactly what
+        track_video.py deploys.
+        """
+        if not _int8_cache:
             from wtracker_tpu.models.yolov8_int8 import make_detect_fns, quantize_detector
 
             traj = trajs[0]
@@ -191,18 +197,64 @@ def build_flagship(S: int | None = None, n_cycles: int | None = None, chunks: in
                 scene.render_views(jnp.asarray(xy), jnp.asarray(tls), (360, 360), jnp.arange(32))
             )
             q = quantize_detector(det_model, det_vars, calib, (416, 416))
-            qw = q.device_weights()
-
-            # folded-stem int8 serving path (stem as letterbox matmuls) — the
-            # 360->416 bench geometry letterboxes without padding, so this is
-            # exactly what track_video.py deploys
             detect_int8, _ = make_detect_fns(
                 q, src_hw=(params.cam_h, params.cam_w), imgsz=(416, 416)
             )
+            _int8_cache["qw"] = q.device_weights()
+            _int8_cache["detect"] = detect_int8
+        return _int8_cache["qw"], _int8_cache["detect"]
+
+    def make_ctl(variant: str = "bf16"):
+        if variant == "bf16":
+            return make_stream_batch_fused(params, cfg, scene, trajs, det_model, det_vars, predictor)
+        if variant == "int8":
+            qw, detect_int8 = int8_path()
             return make_stream_batch_fused(
                 params, cfg, scene, trajs, det_model, qw, predictor, detect_fn=detect_int8
             )
         raise ValueError(f"unknown variant {variant!r}")
+
+    def make_decide(variant: str = "bf16", S: int = 1):
+        """The standalone deployment decision at S streams: jitted
+        ``decide(views, cam_tl) -> (S, 2)`` plus realistic example inputs.
+
+        This is the work the real instrument must finish inside the 40 ms
+        ``pred_time_ms`` window (reference models the deadline at
+        sim/simulator.py:173-180 + sim/config.py:46-48): detect the
+        predictor's input frames, assemble the bbox history, run the MLP,
+        emit the platform move.
+        """
+        import jax
+        from dataclasses import replace
+
+        from wtracker_tpu.sim.engine_live import make_decision_step
+
+        view_hw = (params.cam_h, params.cam_w)
+        dcfg = replace(cfg, detect_chunks=1)  # a k-view batch never needs chunking
+        if variant == "bf16":
+            dv, detect_fn = det_vars, None
+        elif variant == "int8":
+            dv, detect_fn = int8_path()
+        else:
+            raise ValueError(f"unknown variant {variant!r}")
+        step = make_decision_step(
+            dcfg, det_model, dv, predictor, view_hw, detect_fn=detect_fn
+        )
+        mlp_vars = predictor.variables
+        decide = jax.jit(lambda views, cam_tl: step(dv, mlp_vars, views, cam_tl))
+
+        k = len(predictor.io_config.input_frames)
+        rng = np.random.default_rng(0)
+        cam_tl = jnp.asarray(rng.uniform(100, 900, (S, 2)).round(), jnp.float32)
+        worm = np.asarray(cam_tl)[:, None] + [params.cam_w / 2, params.cam_h / 2]
+        worm = jnp.asarray(worm + rng.uniform(-8, 8, (S, k, 2)), jnp.float32)
+        views = scene.render_views(
+            worm.reshape(S * k, 2),
+            jnp.repeat(cam_tl, k, axis=0),
+            view_hw,
+            jnp.arange(S * k),
+        ).reshape(S, k, *view_hw)
+        return decide, views, cam_tl
 
     import types
 
@@ -213,8 +265,56 @@ def build_flagship(S: int | None = None, n_cycles: int | None = None, chunks: in
         n_cycles=N_CYCLES,
         steps=steps,
         make_ctl=make_ctl,
+        make_decide=make_decide,
+        det_model=det_model,
+        det_vars=det_vars,
+        predictor=predictor,
+        int8_path=int8_path,
+        scene=scene,
         run=lambda ctl: run_engine_streams(params, ctl, init_pos, N_CYCLES, delayed_log=True),
     )
+
+
+def measure_decision_latency(ctx, variant: str, S: int, n: int = 50) -> dict:
+    """Per-decision latency of the deployment decision step, two ways:
+
+    - ``device_ms``: true device busy time per decision from an xplane trace
+      over ``n`` back-to-back decisions (the only trustworthy number through
+      the axon tunnel — wall-clock drifts 2x run to run, docs/performance.md);
+      on real hardware without the tunnel this is what the instrument pays.
+    - ``e2e_ms``: best-of-``n`` blocking wall time per decision through the
+      tunnel (upper bound: includes the tunnel's ~36 ms dispatch round trip,
+      which a co-located host would not pay).
+    """
+    import shutil
+    import tempfile
+
+    import jax
+
+    decide, views, cam_tl = ctx.make_decide(variant, S)
+    np.asarray(decide(views, cam_tl))  # compile + warm
+
+    e2e = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        np.asarray(decide(views, cam_tl))
+        e2e.append(time.perf_counter() - t0)
+
+    trace_dir = tempfile.mkdtemp(prefix=f"wtracker-latency-{variant}-s{S}-")
+    try:
+        with jax.profiler.trace(trace_dir):
+            for _ in range(n):
+                out = decide(views, cam_tl)
+            np.asarray(out)
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.trace_profile import parse_xspace
+
+        module_ps, _, _ = parse_xspace(trace_dir)
+        device_ms = module_ps / 1e9 / n if module_ps else float("nan")
+    finally:
+        shutil.rmtree(trace_dir, ignore_errors=True)
+
+    return {"device_ms": round(device_ms, 3), "e2e_ms": round(min(e2e) * 1e3, 3)}
 
 
 def _measure() -> None:
@@ -256,6 +356,25 @@ def _measure() -> None:
         v8, m8 = measure(ctx.make_ctl("int8"))
         result["int8"] = {"value": round(v8, 1), "mean": round(m8, 1),
                           "vs_baseline": round(v8 / 5000.0, 3)}
+
+    # closed-loop decision latency vs the domain's 40 ms pred_time budget
+    # (the real-time constraint the whole cycle schedule exists to model —
+    # reference sim/config.py:46-48). BENCH_LATENCY=0 skips it.
+    if os.environ.get("BENCH_LATENCY", "1") != "0":
+        budget_ms = 40.0
+        lat = {"budget_ms": budget_ms}
+        for variant in ("bf16",) + (("int8",) if "int8" in result else ()):
+            for S in (1, 4):
+                lat[f"{variant}_s{S}"] = measure_decision_latency(ctx, variant, S)
+        dev = lat["bf16_s1"]["device_ms"]
+        e2e = lat["bf16_s1"]["e2e_ms"]
+        ok = (dev if np.isfinite(dev) else e2e) <= budget_ms
+        lat["verdict"] = (
+            f"bf16 S=1 decision {dev:.2f} ms on-device ({e2e:.1f} ms e2e through "
+            f"the tunnel) vs the 40 ms pred_time budget: "
+            + ("WITHIN budget" if ok else "OVER budget")
+        )
+        result["latency_ms"] = lat
 
     print(json.dumps(result))
 

@@ -189,6 +189,73 @@ def test_live_loop_no_detection_fallback(setup):
     assert np.isnan(np.asarray(logs.worm_bboxes)).all()
 
 
+def test_decision_step_matches_reference_math(setup):
+    """make_decision_step (the deployment decision bench.py latency-traces)
+    must assemble features and emit moves exactly as the engine controllers
+    do: detect each input frame, shift boxes to arena coords, run the MLP on
+    origin-relative history, clip+round, with the detection-centering and
+    stay-put fallbacks. Verified against an independent numpy reimplementation
+    of the math (reference: mlp_controllers.py:38-68 + csv_controller
+    fallback)."""
+    import jax
+
+    from wtracker_tpu.sim.engine_live import make_decision_step
+    from wtracker_tpu.models.yolov8 import detect_top1
+
+    exp, timing, params = setup
+    scene = SyntheticScene()
+    model, variables = _tiny_detector()
+    predictor = _tiny_predictor()
+    k = len(predictor.io_config.input_frames)
+    H, W = 64, 80
+    cfg = LiveLoopConfig(imgsz=(64, 64), conf=0.0, ring_size=32, max_dist_per_pred=20.0)
+
+    decide = jax.jit(make_decision_step(cfg, model, variables, predictor, (H, W)))
+
+    S = 2
+    rng = np.random.default_rng(0)
+    cam_tl = jnp.asarray(rng.uniform(50, 200, (S, 2)).round())
+    # worm near each camera's center, drifting a little per history frame
+    worm = np.asarray(cam_tl)[:, None] + [W / 2, H / 2] + rng.uniform(-6, 6, (S, k, 2))
+    views = jnp.stack(
+        [
+            scene.render_views(
+                jnp.asarray(worm[s]), jnp.tile(cam_tl[s], (k, 1)).astype(jnp.float32),
+                (H, W), jnp.arange(k),
+            )
+            for s in range(S)
+        ]
+    )  # (S, k, H, W)
+
+    move = np.asarray(decide(variables, predictor.variables, views, cam_tl))
+    assert move.shape == (S, 2) and move.dtype == np.int32
+
+    # independent recomputation: detect the same flat batch, then numpy math
+    boxes = np.asarray(
+        detect_top1(model, variables, views.reshape(S * k, H, W), cfg.imgsz, cfg.conf)
+    )
+    feats_abs = boxes.reshape(S, k, 4).copy()
+    feats_abs[..., :2] += np.repeat(np.asarray(cam_tl), k, axis=0).reshape(S, k, 2)
+    assert np.isfinite(feats_abs).all()  # conf=0: every frame detects
+    cam_center = np.asarray(cam_tl) + [W / 2, H / 2]
+    rel = feats_abs[:, 0, :2] - cam_center
+    feats = feats_abs.copy()
+    feats[..., :2] -= feats_abs[:, 0:1, :2]
+    pred = np.asarray(
+        predictor.model.apply(
+            predictor.variables, jnp.asarray(feats.reshape(S, -1), jnp.float32), train=False
+        )
+    )
+    expected = np.round(np.clip(pred[:, :2], -20.0, 20.0) + rel).astype(np.int32)
+    np.testing.assert_array_equal(move, expected)
+
+    # no detections anywhere (conf > 1) -> stay put, never NaN
+    cfg_miss = LiveLoopConfig(imgsz=(64, 64), conf=2.0, ring_size=32, max_dist_per_pred=20.0)
+    decide_miss = jax.jit(make_decision_step(cfg_miss, model, variables, predictor, (H, W)))
+    move_miss = np.asarray(decide_miss(variables, predictor.variables, views, cam_tl))
+    np.testing.assert_array_equal(move_miss, np.zeros((S, 2), np.int32))
+
+
 def test_chunked_detect_equals_single_batch():
     """detect_chunks splits the per-cycle batch sequentially; per-view math is
     independent, so logs must be identical to the single-batch run."""

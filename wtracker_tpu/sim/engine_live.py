@@ -101,6 +101,87 @@ class LiveLoopConfig:
     default flips on everywhere it applies."""
 
 
+def _batched_move_from_history(
+    mlp_model, mlp_vars, feats_abs, last_det, cam_center, max_dist
+):
+    """Shared (S,·) movement decision: MLP on relative bbox history, falling
+    back to centering the freshest detection, else staying put.
+
+    ``feats_abs`` is the (S, k, 4) absolute-coordinate bbox history at the
+    predictor's ``input_frames`` offsets (newest first); ``last_det`` the
+    (S, 4) kickoff-frame detection; ``cam_center`` the (S, 2) camera center.
+    Mirrors the reference MLPController math (mlp_controllers.py:38-68) with
+    the CsvController fallback; used by both the fused cycle controller and
+    the standalone decision step so the two can't drift apart.
+    """
+    S = feats_abs.shape[0]
+    mlp_valid = jnp.isfinite(feats_abs).all(axis=(1, 2))
+
+    rel = feats_abs[:, 0, :2] - cam_center
+    origin = feats_abs[:, 0:1, :2]
+    feats = (feats_abs.at[:, :, :2].add(-origin)).reshape(S, -1)
+    feats = jnp.where(mlp_valid[:, None], feats, 0.0)
+
+    pred = mlp_model.apply(mlp_vars, feats.astype(jnp.float32), train=False)
+    pred = jnp.clip(pred, -max_dist, max_dist)
+    mlp_move = jnp.round(pred[:, :2] + rel)
+
+    det_valid = jnp.isfinite(last_det).all(axis=1)
+    det_center = last_det[:, :2] + last_det[:, 2:] / 2
+    det_move = jnp.round(det_center - cam_center)
+
+    return jnp.where(
+        mlp_valid[:, None],
+        mlp_move,
+        jnp.where(det_valid[:, None], det_move, jnp.zeros((S, 2))),
+    ).astype(jnp.int32)
+
+
+def make_decision_step(
+    config: LiveLoopConfig,
+    detector_model: YoloV8,
+    detector_variables: dict,
+    predictor,
+    view_hw: tuple[int, int],
+    detect_fn=None,
+):
+    """The deployment decision, standalone: detect the predictor's input
+    frames, assemble relative features, run the MLP, emit the platform move.
+
+    This is exactly the work the real instrument must finish inside
+    ``pred_time_ms`` between the imaging-phase end and the movement start
+    (the reference models that deadline with ``begin_movement_prediction``,
+    /root/reference/wtracker/sim/simulator.py:173-180 and sim/config.py:46-48;
+    its MLPController runs YOLO over the ``input_frames`` offsets + the MLP at
+    decision time, sim_controllers/mlp_controllers.py). bench.py device-traces
+    this function at S=1/S=4 for the published ``latency_ms``.
+
+    Returns ``decide(det_vars, mlp_vars, views, cam_tl) -> (S, 2) int32`` —
+    jit-ready; ``views`` is the (S, k, H, W) stack of camera frames at the
+    ``input_frames`` offsets (newest first, uint8 or float), ``cam_tl`` the
+    (S, 2) float camera top-left in arena coordinates.
+    """
+    _detect = _resolve_detect(detect_fn, config, detector_model, detector_variables, view_hw)
+    io = predictor.io_config
+    k = len(io.input_frames)
+    mlp_model = predictor.model
+    H, W = view_hw
+
+    def decide(det_vars, mlp_vars, views, cam_tl):
+        S = views.shape[0]
+        flat = views.reshape(S * k, H, W)
+        boxes = _detect(detector_model, det_vars, flat, config.imgsz, config.conf)
+        tls = jnp.repeat(cam_tl, k, axis=0).astype(boxes.dtype)
+        feats_abs = boxes.at[:, :2].add(tls).reshape(S, k, 4).astype(jnp.float32)
+        cam_center = cam_tl.astype(jnp.float32) + jnp.array([W / 2, H / 2], jnp.float32)
+        return _batched_move_from_history(
+            mlp_model, mlp_vars, feats_abs, feats_abs[:, 0, :],
+            cam_center, config.max_dist_per_pred,
+        )
+
+    return decide
+
+
 def hybrid_yolo_mlp_controller(
     params: EngineParams,
     config: LiveLoopConfig,
@@ -348,27 +429,10 @@ def make_stream_batch_flat(
         cam_center = cam_tl.astype(jnp.float32) + jnp.array(
             [params.cam_w / 2, params.cam_h / 2], jnp.float32
         )
-        mlp_valid = jnp.isfinite(feats_abs).all(axis=(1, 2))  # (S,)
-
-        rel = feats_abs[:, 0, :2] - cam_center  # (S, 2)
-        origin = feats_abs[:, 0:1, :2]
-        feats = (feats_abs.at[:, :, :2].add(-origin)).reshape(S, -1)
-        feats = jnp.where(mlp_valid[:, None], feats, 0.0)
-
-        pred = mlp_model.apply(consts["mlp"], feats.astype(jnp.float32), train=False)
-        pred = jnp.clip(pred, -config.max_dist_per_pred, config.max_dist_per_pred)
-        mlp_move = jnp.round(pred[:, :2] + rel)
-
-        last_det = ring[:, kickoff % R, :]  # (S, 4)
-        det_valid = jnp.isfinite(last_det).all(axis=1)
-        det_center = last_det[:, :2] + last_det[:, 2:] / 2
-        det_move = jnp.round(det_center - cam_center)
-
-        dxdy = jnp.where(
-            mlp_valid[:, None],
-            mlp_move,
-            jnp.where(det_valid[:, None], det_move, jnp.zeros((S, 2))),
-        ).astype(jnp.int32)
+        dxdy = _batched_move_from_history(
+            mlp_model, consts["mlp"], feats_abs, ring[:, kickoff % R, :],
+            cam_center, config.max_dist_per_pred,
+        )
 
         return {"ring": ring, "stash": boxes, "gt": gt}, dxdy
 
@@ -514,27 +578,10 @@ def make_stream_batch_fused(
         cam_center = img_tl.astype(jnp.float32) + jnp.array(
             [params.cam_w / 2, params.cam_h / 2], jnp.float32
         )
-        mlp_valid = jnp.isfinite(feats_abs).all(axis=(1, 2))
-
-        rel = feats_abs[:, 0, :2] - cam_center
-        origin = feats_abs[:, 0:1, :2]
-        feats = (feats_abs.at[:, :, :2].add(-origin)).reshape(S, -1)
-        feats = jnp.where(mlp_valid[:, None], feats, 0.0)
-
-        pred = mlp_model.apply(consts["mlp"], feats.astype(jnp.float32), train=False)
-        pred = jnp.clip(pred, -config.max_dist_per_pred, config.max_dist_per_pred)
-        mlp_move = jnp.round(pred[:, :2] + rel)
-
-        last_det = ring[:, kickoff % R, :]
-        det_valid = jnp.isfinite(last_det).all(axis=1)
-        det_center = last_det[:, :2] + last_det[:, 2:] / 2
-        det_move = jnp.round(det_center - cam_center)
-
-        dxdy = jnp.where(
-            mlp_valid[:, None],
-            mlp_move,
-            jnp.where(det_valid[:, None], det_move, jnp.zeros((S, 2))),
-        ).astype(jnp.int32)
+        dxdy = _batched_move_from_history(
+            mlp_model, consts["mlp"], feats_abs, ring[:, kickoff % R, :],
+            cam_center, config.max_dist_per_pred,
+        )
 
         state = {"ring": ring, "log_rows": log_rows, "img_stash": img_boxes, "gt": gt}
         return state, dxdy
