@@ -40,6 +40,22 @@ def main() -> None:
     ap.add_argument("--brightness", type=float, default=0.4)
     ap.add_argument("--no-augment", action="store_true", help="disable all augmentation")
     ap.add_argument("--ckpt-dir", help="per-epoch best/last checkpoints (default: alongside --output)")
+    ap.add_argument(
+        "--resume",
+        action="store_true",
+        help="continue an interrupted run from the full train state in --ckpt-dir "
+        "(params + optimizer + EMA + epoch/best bookkeeping; bit-exact continuation)",
+    )
+    ap.add_argument(
+        "--tensorboard-dir",
+        help="stream loss / val mAP50 / lr scalars to this tensorboard log dir",
+    )
+    ap.add_argument(
+        "--dp",
+        action="store_true",
+        help="data-parallel: shard each training batch over all local devices "
+        "(batch must divide evenly; params replicate, XLA inserts the grad psum)",
+    )
     ap.add_argument("--export-torch", help="also export the best weights as an ultralytics-layout torch state dict")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -91,11 +107,25 @@ def main() -> None:
     variables = model.init(
         jax.random.PRNGKey(args.seed), jnp.zeros((1, args.imgsz, args.imgsz, 3), jnp.float32), train=False
     )
+    mesh = None
+    if args.dp:
+        from wtracker_tpu.parallel import make_mesh
+
+        mesh = make_mesh(axis="data")
+        print(f"data-parallel over {mesh.devices.size} devices")
+
     n_train = len(images) - max(1, int(round(len(images) * cfg.val_fraction))) if len(images) > 4 else len(images)
-    run = YoloTrainingRun(model, variables, (args.imgsz, args.imgsz), cfg, n_train=max(1, n_train))
+    run = YoloTrainingRun(
+        model, variables, (args.imgsz, args.imgsz), cfg, n_train=max(1, n_train), mesh=mesh
+    )
 
     ckpt_dir = args.ckpt_dir or os.path.dirname(os.path.abspath(args.output))
-    history = run.fit(images, gt, cls, mask, ckpt_dir=ckpt_dir)
+    history = run.fit(
+        images, gt, cls, mask,
+        ckpt_dir=ckpt_dir,
+        resume=args.resume,
+        tensorboard_dir=args.tensorboard_dir,
+    )
 
     best = [h for h in history if np.isfinite(h.val_map50)]
     if best:

@@ -113,15 +113,36 @@ class RecipeConfig:
 def load_yolo_dataset(images_dir: str, labels_dir: str, imgsz: int, max_gt: int = 4):
     """Load a YOLO-format dataset (images + ``class cx cy w h`` label files)
     into padded arrays: (N,s,s,3) f32 images in [0,1], (N,G,4) xyxy gt boxes
-    in pixels, (N,G) classes, (N,G) validity."""
+    in pixels, (N,G) classes, (N,G) validity.
+
+    Non-square sources are LETTERBOXED to ``imgsz`` (aspect-preserving resize
+    + centered 114 padding) with the matching label transform — the same
+    geometry the inference path applies (:func:`wtracker_tpu.ops.image.
+    letterbox`), so training never sees an aspect distortion serving won't
+    (ultralytics letterboxes its train loader too,
+    /root/reference/yolo/yolo_train_config.yaml:13). Label files with more
+    than ``max_gt`` boxes are truncated with a warning — one crowded frame
+    must not kill a multi-hour run.
+    """
+    import warnings
+
     import cv2 as cv
 
     names = sorted(f for f in os.listdir(images_dir) if f.lower().endswith((".png", ".jpg", ".bmp")))
     images, gts, clss, masks = [], [], [], []
     for name in names:
         img = cv.imread(os.path.join(images_dir, name), cv.IMREAD_GRAYSCALE)
-        img = cv.resize(img, (imgsz, imgsz))
-        images.append(np.repeat(img[..., None], 3, axis=-1).astype(np.float32) / 255.0)
+        sh, sw = img.shape[:2]
+        # ops/image.letterbox geometry: min-ratio scale, round, center pad
+        scale = min(imgsz / sh, imgsz / sw)
+        new_h, new_w = round(sh * scale), round(sw * scale)
+        pad_top = (imgsz - new_h) // 2
+        pad_left = (imgsz - new_w) // 2
+        if (new_h, new_w) != (sh, sw):
+            img = cv.resize(img, (new_w, new_h))
+        canvas = np.full((imgsz, imgsz), 114, np.uint8)
+        canvas[pad_top : pad_top + new_h, pad_left : pad_left + new_w] = img
+        images.append(np.repeat(canvas[..., None], 3, axis=-1).astype(np.float32) / 255.0)
 
         label_path = os.path.join(labels_dir, os.path.splitext(name)[0] + ".txt")
         gt = np.zeros((max_gt, 4), np.float32)
@@ -130,14 +151,20 @@ def load_yolo_dataset(images_dir: str, labels_dir: str, imgsz: int, max_gt: int 
         if os.path.exists(label_path):
             rows = [ln for ln in open(label_path).read().splitlines() if ln.strip()]
             if len(rows) > max_gt:
-                raise ValueError(f"{label_path}: {len(rows)} boxes exceed max_gt={max_gt}")
+                warnings.warn(
+                    f"{label_path}: {len(rows)} boxes exceed max_gt={max_gt}; "
+                    f"keeping the first {max_gt}",
+                    stacklevel=2,
+                )
+                rows = rows[:max_gt]
             for j, line in enumerate(rows):
                 c, cx, cy, bw, bh = (float(v) for v in line.split())
+                # normalized source coords → letterboxed pixels
                 gt[j] = (
-                    (cx - bw / 2) * imgsz,
-                    (cy - bh / 2) * imgsz,
-                    (cx + bw / 2) * imgsz,
-                    (cy + bh / 2) * imgsz,
+                    (cx - bw / 2) * sw * scale + pad_left,
+                    (cy - bh / 2) * sh * scale + pad_top,
+                    (cx + bw / 2) * sw * scale + pad_left,
+                    (cy + bh / 2) * sh * scale + pad_top,
                 )
                 cls[j] = int(c)
                 mask[j] = True
@@ -482,10 +509,18 @@ class YoloTrainingRun:
         config: RecipeConfig = RecipeConfig(),
         steps_per_epoch: int | None = None,
         n_train: int | None = None,
+        mesh=None,
+        data_axis: str = "data",
     ):
         self.model = model
         self.config = config
         self.imgsz = imgsz
+        # optional data parallelism: each scanned batch shards over the mesh's
+        # ``data_axis`` while params/opt/EMA replicate — XLA inserts the
+        # gradient psum from the sharding annotations (the DP the reference
+        # gets from ultralytics' DDP device list, yolo_train_config.yaml:21)
+        self.mesh = mesh
+        self.data_axis = data_axis
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
         self.ema_params = jax.tree.map(lambda x: x, self.params)
@@ -495,12 +530,16 @@ class YoloTrainingRun:
             steps_per_epoch = max(1, -(-n_train // config.batch))
         self.steps_per_epoch = steps_per_epoch
 
-        total_steps = max(1, config.epochs * steps_per_epoch)
+        total_steps = max(2, config.epochs * steps_per_epoch)
+        # warmup can't swallow the whole run (short smoke runs keep the
+        # reference's 3-epoch warmup default): clamp to total-1 so the cosine
+        # leg always has at least one step
         warmup = int(round(config.warmup_epochs * steps_per_epoch))
+        warmup = min(max(1, warmup), total_steps - 1)
         self.schedule = optax.warmup_cosine_decay_schedule(
             init_value=config.lr0 * 0.01,
             peak_value=config.lr0,
-            warmup_steps=max(1, warmup),
+            warmup_steps=warmup,
             decay_steps=total_steps,
             end_value=config.lr0 * config.lrf,
         )
@@ -519,7 +558,13 @@ class YoloTrainingRun:
         model, imgsz, tx, cfg = self.model, self.imgsz, self.tx, self.config
         aug = cfg.augment
 
-        @jax.jit
+        batch_shard = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            batch_shard = NamedSharding(self.mesh, PartitionSpec(self.data_axis))
+            repl = NamedSharding(self.mesh, PartitionSpec())
+
         def epoch(params, stats, opt_state, ema, step0, rngs, images, gt, cls, mask, order):
             def train_step(carry, xs):
                 params, stats, opt_state, ema, step = carry
@@ -530,6 +575,13 @@ class YoloTrainingRun:
                 b_gt = jnp.take(gt, idx, axis=0)
                 b_cls = jnp.take(cls, idx, axis=0)
                 b_mask = jnp.take(mask, idx, axis=0)
+                if batch_shard is not None:
+                    # data parallelism: the gathered batch shards over the
+                    # mesh; grads psum back because params stay replicated
+                    b_images, b_gt, b_cls, b_mask = (
+                        jax.lax.with_sharding_constraint(x, batch_shard)
+                        for x in (b_images, b_gt, b_cls, b_mask)
+                    )
                 if not aug.identity:
                     b_images, b_gt, b_cls, b_mask = augment_batch(
                         rng, b_images, b_gt, b_cls, b_mask, aug, mosaic_on
@@ -555,21 +607,49 @@ class YoloTrainingRun:
             )
             return carry, jnp.mean(losses)
 
+        if batch_shard is not None:
+            # dataset + train state replicate across the mesh (the dataset must
+            # be fully addressable for the per-step gather); only the per-batch
+            # compute shards, via the constraint above
+            n_in = 11
+            epoch = jax.jit(
+                epoch, in_shardings=(repl,) * n_in, out_shardings=(repl, repl)
+            )
+        else:
+            epoch = jax.jit(epoch)
         self._epoch_fns[key] = epoch
         return epoch
 
-    def run_epoch(self, epoch_idx: int, images, gt, cls, mask, rng: np.random.Generator) -> float:
-        """One training epoch over the (device-resident) dataset."""
-        cfg = self.config
-        n = images.shape[0]
-        bs = min(cfg.batch, n)
+    def _epoch_order(self, n: int, rng: np.random.Generator) -> np.ndarray:
+        """Draw one epoch's (n_batches, bs) sample order from ``rng``.
+
+        The draw count is a deterministic function of (n, batch, steps) alone,
+        so a resumed :meth:`fit` replays the interrupted epochs' draws and the
+        continuation consumes exactly the permutations the uninterrupted run
+        would have (the kill-and-resume test pins this).
+        """
+        bs = min(self.config.batch, n)
         n_batches = self.steps_per_epoch
         # permutation padded to n_batches*bs by re-drawing (no dropped tail)
         perm = rng.permutation(n)
         need = n_batches * bs
         while len(perm) < need:
             perm = np.concatenate([perm, rng.permutation(n)])
-        order = jnp.asarray(perm[:need].reshape(n_batches, bs))
+        return perm[:need].reshape(n_batches, bs)
+
+    def run_epoch(self, epoch_idx: int, images, gt, cls, mask, rng: np.random.Generator) -> float:
+        """One training epoch over the (device-resident) dataset."""
+        cfg = self.config
+        n = images.shape[0]
+        bs = min(cfg.batch, n)
+        if self.mesh is not None and bs % self.mesh.devices.size != 0:
+            raise ValueError(
+                f"batch size {bs} is not a multiple of the mesh size "
+                f"{self.mesh.devices.size}; an uneven split would silently pad "
+                "device shards — pick a divisible batch"
+            )
+        n_batches = self.steps_per_epoch
+        order = jnp.asarray(self._epoch_order(n, rng))
 
         mosaic_on = epoch_idx < cfg.epochs - cfg.close_mosaic
         epoch = self._epoch_fn(mosaic_on, (bs,))
@@ -599,6 +679,68 @@ class YoloTrainingRun:
             vs["batch_stats"] = self.batch_stats
         return vs
 
+    # -- full-state checkpointing (resume) -----------------------------------
+
+    def save_state(self, directory: str, epoch: int, best_map: float, best_epoch: int) -> None:
+        """Persist the COMPLETE training state — params, optimizer, EMA, batch
+        stats, step counter, and best-mAP bookkeeping — so an interrupted run
+        resumes bit-exactly (the reference's delegated trainer has `resume`,
+        /root/reference/yolo/yolo_train_config.yaml:31). Orbax carries the
+        pytrees; a small JSON carries the scalars."""
+        import json
+
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(directory)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(
+                f"{path}/train_state",
+                {
+                    "params": self.params,
+                    "batch_stats": self.batch_stats,
+                    "opt_state": self.opt_state,
+                    "ema_params": self.ema_params,
+                },
+                force=True,
+            )
+        meta = {
+            "epoch": epoch,
+            "step_count": self.step_count,
+            "best_map": best_map,
+            "best_epoch": best_epoch,
+        }
+        with open(os.path.join(path, "train_state.json"), "w") as f:
+            json.dump(meta, f)
+
+    def load_state(self, directory: str) -> dict | None:
+        """Restore a :meth:`save_state` checkpoint in place; returns the
+        scalar metadata (epoch, best_map, best_epoch) or ``None`` when the
+        directory holds no resumable state."""
+        import json
+
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(directory)
+        meta_path = os.path.join(path, "train_state.json")
+        if not (os.path.exists(meta_path) and os.path.exists(f"{path}/train_state")):
+            return None
+        target = {
+            "params": self.params,
+            "batch_stats": self.batch_stats,
+            "opt_state": self.opt_state,
+            "ema_params": self.ema_params,
+        }
+        with ocp.StandardCheckpointer() as ckptr:
+            state = ckptr.restore(f"{path}/train_state", target)
+        self.params = state["params"]
+        self.batch_stats = state["batch_stats"]
+        self.opt_state = state["opt_state"]
+        self.ema_params = state["ema_params"]
+        with open(meta_path) as f:
+            meta = json.load(f)
+        self.step_count = int(meta["step_count"])
+        return meta
+
     # -- the full loop -----------------------------------------------------
 
     def fit(
@@ -612,12 +754,25 @@ class YoloTrainingRun:
         val_mask=None,
         ckpt_dir: str | None = None,
         log=print,
+        resume: bool = False,
+        stop_after: int | None = None,
+        tensorboard_dir: str | None = None,
     ) -> list[EpochResult]:
         """Train with per-epoch validation, best/last checkpoints, early stop.
 
         Without an explicit val set, ``val_fraction`` of the data is split off
         (deterministically by seed). Returns the per-epoch history; the best
         EMA weights end up in ``self.best_variables``.
+
+        ``resume=True`` restores the full train state from ``ckpt_dir`` (see
+        :meth:`save_state`) and continues from the next epoch — the resumed
+        run reproduces the uninterrupted run's weights exactly (the consumed
+        permutation draws are replayed + full optimizer/EMA/bookkeeping
+        restore).
+        ``stop_after`` caps the epochs run in THIS session (train-until-killed
+        operation); ``tensorboard_dir`` streams loss / val mAP50 / lr scalars
+        like the MLP trainer (reference analogue:
+        /root/reference/wtracker/neural/training.py:111-117).
         """
         cfg = self.config
         if val_images is None:
@@ -638,12 +793,42 @@ class YoloTrainingRun:
         d_cls = jnp.asarray(train_cls)
         d_mask = jnp.asarray(train_mask)
 
-        rng = np.random.default_rng(cfg.seed)
         history: list[EpochResult] = []
-        best_map, best_epoch = -1.0, -1
+        best_map, best_epoch, start_epoch = -1.0, -1, 0
         self.best_variables = self.variables()
 
-        for e in range(cfg.epochs):
+        if resume:
+            if not ckpt_dir:
+                raise ValueError("resume=True requires ckpt_dir")
+            meta = self.load_state(ckpt_dir)
+            if meta is not None:
+                start_epoch = int(meta["epoch"]) + 1
+                best_map, best_epoch = float(meta["best_map"]), int(meta["best_epoch"])
+                best_path = os.path.join(ckpt_dir, "best.npz")
+                if os.path.exists(best_path):
+                    from wtracker_tpu.models.yolov8 import YoloV8Detector
+
+                    self.best_variables = YoloV8Detector.load(best_path).variables
+                log(f"resumed from epoch {meta['epoch']} (best mAP50 {best_map:.3f})")
+
+        writer = None
+        if tensorboard_dir:
+            from torch.utils.tensorboard import SummaryWriter  # host-side only
+
+            writer = SummaryWriter(tensorboard_dir)
+
+        # one permutation stream threaded across epochs; a resumed run replays
+        # the interrupted epochs' draws so the continuation consumes exactly
+        # the batch orders the uninterrupted run would have
+        rng = np.random.default_rng(cfg.seed)
+        for _ in range(start_epoch):
+            self._epoch_order(d_images.shape[0], rng)
+
+        ran = 0
+        for e in range(start_epoch, cfg.epochs):
+            if stop_after is not None and ran >= stop_after:
+                break
+            ran += 1
             loss = self.run_epoch(e, d_images, d_gt, d_cls, d_mask, rng)
             val_map = (
                 evaluate_map50(
@@ -656,19 +841,33 @@ class YoloTrainingRun:
             lr = float(self.schedule(self.step_count - 1))
             history.append(EpochResult(e, loss, val_map, lr))
             log(f"epoch {e}: loss {loss:.4f}  val mAP50 {val_map:.3f}  lr {lr:.2e}")
+            if writer is not None:
+                writer.add_scalar("train/loss", loss, e)
+                if not np.isnan(val_map):
+                    writer.add_scalar("val/mAP50", val_map, e)
+                writer.add_scalar("train/lr", lr, e)
 
+            # best-WEIGHT selection refreshes on mAP ties (later epochs carry
+            # better-calibrated confidences at equal mAP — tiny val sets
+            # plateau early and freezing the first plateau epoch ships an
+            # undertrained detector); best-EPOCH bookkeeping stays strict so
+            # a flat plateau still trips the patience early stop
             improved = np.isnan(val_map) or val_map > best_map
-            if improved:
-                best_map = -1.0 if np.isnan(val_map) else val_map
-                best_epoch = e
+            if improved or val_map >= best_map:
                 self.best_variables = jax.tree.map(np.asarray, self.variables())
                 if ckpt_dir:
                     self._save(os.path.join(ckpt_dir, "best.npz"), self.best_variables)
+            if improved:
+                best_map = -1.0 if np.isnan(val_map) else val_map
+                best_epoch = e
             if ckpt_dir:
                 self._save(os.path.join(ckpt_dir, "last.npz"), self.variables())
+                self.save_state(ckpt_dir, e, best_map, best_epoch)
             if e - best_epoch >= cfg.patience:
                 log(f"early stop at epoch {e} (no val improvement for {cfg.patience})")
                 break
+        if writer is not None:
+            writer.close()
         return history
 
     def _save(self, path: str, variables: dict) -> None:
