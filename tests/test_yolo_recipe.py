@@ -418,7 +418,11 @@ def test_recipe_reaches_val_map_bar(trained_detector):
     (val mAP@0.5), not just a falling loss curve."""
     _, _, history, _ = trained_detector
     best = max(h.val_map50 for h in history)
-    assert best >= 0.60, f"best val mAP50 {best:.3f} < 0.60"
+    # the seeded fixture reaches 1.0 on CPU and TPU (rounds 3-4); 0.85 keeps
+    # numeric headroom while still catching any regression that meaningfully
+    # degrades detector quality (the round-3 0.60 bar could not — VERDICT r3
+    # weak #7)
+    assert best >= 0.85, f"best val mAP50 {best:.3f} < 0.85"
 
 
 def test_closed_loop_tracks_within_margin_of_gt_baseline(trained_detector):

@@ -6,10 +6,21 @@ random weights — the strongest parity check available while the reference's
 trained checkpoint blob is absent from the mount.
 """
 
+import os
+
 import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
+
+_flagship_flag = os.environ.get("WTRACKER_FLAGSHIP")
+_run_flagship = (
+    (_flagship_flag not in ("", "0")) if _flagship_flag is not None else (os.cpu_count() or 1) > 1
+)
+flagship = pytest.mark.skipif(
+    not _run_flagship,
+    reason="flagship-scale (s/416) gate is jit-heavy on a 1-core box; set WTRACKER_FLAGSHIP=1",
+)
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +67,63 @@ def test_full_network_parity(ported):
         np.testing.assert_allclose(np.asarray(fbox[i]), t, atol=2e-4, rtol=1e-3)
         t = np.transpose(tcls[i].numpy(), (0, 2, 3, 1))
         np.testing.assert_allclose(np.asarray(fcls[i]), t, atol=2e-4, rtol=1e-3)
+
+
+@flagship
+def test_full_network_parity_flagship_scale():
+    """Deployed-configuration parity gate (VERDICT r3 item 3): scale "s" @
+    416 — the exact YoloControllerConfig the reference ships
+    (/root/reference/wtracker/sim/sim_controllers/yolo_controller.py:27-31) —
+    on a letterboxed 360-px camera view. Asserts the BASELINE.md parity row:
+    IoU ≥ 0.99 between the torch and Flax DECODED top-1 boxes (not just logit
+    atol), plus per-level logit closeness."""
+    from wtracker_tpu.ops.boxes import box_iou
+    from wtracker_tpu.ops.image import letterbox
+    from wtracker_tpu.models.yolov8 import decode_predictions
+
+    gen = torch.Generator().manual_seed(7)
+    tmodel = TorchYoloV8(nc=1, scale="s").eval()
+    with torch.no_grad():
+        _randomize_bn(tmodel, gen)
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    variables = port_state_dict(sd, prefix="model.")
+    fmodel = YoloV8(nc=1, scale="s")
+
+    # deployment geometry: 360-px camera views letterboxed to 416
+    rng = np.random.default_rng(5)
+    views = rng.integers(0, 255, size=(2, 360, 360), dtype=np.uint8)
+    x, _ = letterbox(jnp.asarray(views), (416, 416))
+    x = np.asarray(x)
+
+    with torch.no_grad():
+        tbox, tcls = tmodel(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    fbox, fcls = fmodel.apply(variables, jnp.asarray(x), train=False)
+
+    tbox = [jnp.asarray(np.transpose(t.numpy(), (0, 2, 3, 1))) for t in tbox]
+    tcls = [jnp.asarray(np.transpose(t.numpy(), (0, 2, 3, 1))) for t in tcls]
+    for i in range(3):
+        # s-scale depth accumulates more f32 noise than the nano gate's 2e-4
+        np.testing.assert_allclose(np.asarray(fbox[i]), np.asarray(tbox[i]), atol=2e-3, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(fcls[i]), np.asarray(tcls[i]), atol=2e-3, rtol=1e-3)
+
+    # the gate that matters (BASELINE.md parity row): DECODED boxes agree at
+    # IoU >= 0.99. Random weights leave near-ties between unrelated anchors,
+    # so the gate is anchor-matched — the box emitted at the torch run's
+    # winning anchor, and every one of its top-100 candidates, must match —
+    # rather than comparing two argmaxes that can tie-flip spuriously.
+    fboxes, fscores = decode_predictions(fbox, fcls, (416, 416))
+    tboxes, tscores = decode_predictions(tbox, tcls, (416, 416))
+    fboxes, tboxes = np.asarray(fboxes), np.asarray(tboxes)
+    ftop = np.max(np.asarray(fscores), axis=-1)
+    ttop = np.max(np.asarray(tscores), axis=-1)
+    for b in range(fboxes.shape[0]):
+        # the winning detection's score agrees...
+        assert abs(ftop[b].max() - ttop[b].max()) < 2e-3
+        # ...and each of the 100 highest-scoring candidate boxes matches
+        cand = np.argsort(ttop[b])[-100:]
+        # box_iou is elementwise over aligned arrays: (100,) IoUs directly
+        ious = np.asarray(box_iou(jnp.asarray(fboxes[b, cand]), jnp.asarray(tboxes[b, cand])))
+        assert ious.min() >= 0.99, f"image {b}: min candidate IoU {ious.min():.4f} < 0.99"
 
 
 def test_anchors():

@@ -236,3 +236,51 @@ def test_quantized_artifact_roundtrip(fused_nano, scene_views, tmp_path):
     a = np.asarray(detect_top1_int8(q, q.device_weights(), x, IMGSZ, 0.0))
     b = np.asarray(detect_top1_int8(q2, q2.device_weights(), x, IMGSZ, 0.0))
     assert np.array_equal(a, b, equal_nan=True)
+
+
+_flagship_flag = __import__("os").environ.get("WTRACKER_FLAGSHIP")
+_run_flagship = (
+    (_flagship_flag not in ("", "0"))
+    if _flagship_flag is not None
+    else (__import__("os").cpu_count() or 1) > 1
+)
+
+
+@pytest.mark.skipif(
+    not _run_flagship,
+    reason="flagship-scale (s/416) gate is jit-heavy on a 1-core box; set WTRACKER_FLAGSHIP=1",
+)
+def test_int8_drift_flagship_scale():
+    """Deployed-configuration quantization gate (VERDICT r3 item 3): int8 vs
+    bf16 top-1 agreement at scale "s" @ 416 on rendered 360-px views — the
+    exact serving geometry bench.py deploys (folded-stem int8, 360->416
+    pad-free letterbox). Enforces the bench's "0.00 px median top-1 drift"
+    note (bench.py) as a gate instead of a one-off hardware observation."""
+    from wtracker_tpu.models.yolov8_int8 import make_detect_fns
+    from wtracker_tpu.sim.synthetic import SyntheticScene, make_trajectory
+
+    raw = YoloV8Detector.init_random(
+        nc=1, scale="s", imgsz=(416, 416), compute_dtype=jnp.bfloat16, seed=0
+    )
+    model = YoloV8(nc=1, scale="s", compute_dtype=jnp.bfloat16, fused=True)
+    variables = fuse_conv_bn(raw.variables)
+
+    scene = SyntheticScene()
+    traj = make_trajectory(64, (1400, 1600), seed=11)
+    xy = jnp.asarray(traj[:48], jnp.float32)
+    tls = jnp.clip(xy - 180, 0, jnp.asarray([1600 - 360, 1400 - 360], jnp.float32))
+    views = np.asarray(scene.render_views(xy, tls, (360, 360), jnp.arange(48)), np.float32)
+
+    q = quantize_detector(model, variables, views[:32], (416, 416))
+    qw = q.device_weights()
+    detect_int8, _ = make_detect_fns(q, src_hw=(360, 360), imgsz=(416, 416))
+    assert getattr(detect_int8, "folds_preproc", False)  # pad-free: folded stem
+
+    frames = jnp.asarray(views[32:], jnp.float32)  # held-out views
+    ref = np.asarray(detect_top1(model, variables, frames, (416, 416), 0.0))
+    got = np.asarray(detect_int8(model, qw, frames, (416, 416), 0.0))
+
+    assert got.shape == ref.shape == (16, 4) and np.isfinite(got).all()
+    drift = np.hypot(*((ref[:, :2] + ref[:, 2:] / 2) - (got[:, :2] + got[:, 2:] / 2)).T)
+    assert np.median(drift) <= 1.0, f"median top-1 center drift {np.median(drift):.2f} px"
+    assert (drift < 8.0).mean() >= 0.75, f"only {(drift < 8.0).mean():.2f} of views within 8 px"
