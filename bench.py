@@ -74,10 +74,13 @@ def main() -> None:
     env = {**os.environ, "WTRACKER_BENCH_INNER": "1"}
     for attempt in range(2):
         try:
+            # headline + int8 + latency phase, cold compiles worst-case; the
+            # opt-in video phase streams a multi-GB recording off disk on top
+            timeout = 3300 + (1500 if os.environ.get("BENCH_VIDEO", "0") != "0" else 0)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 capture_output=True,
-                timeout=3300,  # headline + int8 + latency phase, cold compiles worst-case
+                timeout=timeout,
                 text=True,
                 env=env,
             )
@@ -375,6 +378,21 @@ def _measure() -> None:
             + ("WITHIN budget" if ok else "OVER budget")
         )
         result["latency_ms"] = lat
+
+    # real-video path (disk BMP recording → native decode → track), opt-in:
+    # BENCH_VIDEO=1 with a recording pre-generated by
+    # `python tools/bench_video.py --generate` (the 12k-frame 1400×1600
+    # recording is ~27 GB, far too slow to render inside a bench run).
+    # Measured numbers live in docs/performance.md round 4.
+    if os.environ.get("BENCH_VIDEO", "0") != "0":
+        video_dir = os.environ.get("BENCH_VIDEO_DIR", "/tmp/wtracker-video-bench")
+        if os.path.isdir(video_dir):
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from tools.bench_video import run as run_video_bench
+
+            result["video_path"] = run_video_bench(video_dir, "bf16")
+        else:
+            result["video_path"] = {"note": f"recording absent: {video_dir}"}
 
     print(json.dumps(result))
 

@@ -101,7 +101,7 @@ def main() -> None:
     logs = run_video_live(
         params,
         cfg,
-        lambda s, n: reader.read_batch(range(s, min(s + n, len(reader)))),
+        lambda s, n, out=None: reader.read_batch(range(s, min(s + n, len(reader))), out=out),
         len(reader),
         det_model,
         det_variables,

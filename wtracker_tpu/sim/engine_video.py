@@ -40,6 +40,28 @@ from wtracker_tpu.sim.engine import (
 )
 from wtracker_tpu.sim.engine_live import LiveLoopConfig, _resolve_detect
 
+_SCRATCH: dict = {}
+
+
+def _scratch_buffer(key, shape) -> np.ndarray:
+    """Process-lifetime uint8 scratch, keyed by role+shape.
+
+    First-touch page faults on fresh allocations cost more than the work the
+    buffer holds on some hosts (~30 ms/MB measured on the bench VM); reusing
+    streaming buffers across run_video_live calls pays that tax once per
+    process. The pool stays bounded: keys embed the shape, and callers use a
+    fixed small set of roles (ping/pong raw + padded canvases)."""
+    buf = _SCRATCH.get(key)
+    if buf is None:
+        # evict same-role buffers of other shapes so geometry changes don't
+        # accumulate dead gigabytes
+        for k in [k for k in _SCRATCH if k[:2] == key[:2] and k != key]:
+            del _SCRATCH[k]
+        buf = np.empty(shape, np.uint8)
+        buf[:] = 0  # fault the pages in now, outside any timed region
+        _SCRATCH[key] = buf
+    return buf
+
 
 def video_live_controller(
     params: EngineParams,
@@ -239,21 +261,82 @@ def run_video_live(
         detect_fn=detect_fn, detect_preprocessed_fn=detect_preprocessed_fn,
     )
 
+    import inspect
+    import threading
+
     carry = init_carry(params, controller, init_position)
     logs_parts = []
-    next_chunk = frame_source(0, min(chunk_frames, num_frames))
 
     # the controller's resident chunk may carry tile-alignment padding for the
     # Pallas preprocessing kernel — match its device shape on every upload
     PC, PH, PW = controller.consts["frames"].shape
 
-    for start_cycle in range(0, n_cycles, cycles_per_chunk):
+    # streaming decode targets are PERSISTENT ping-pong buffers (module-level
+    # pool): fresh-allocation page faults cost more than the decode itself on
+    # some hosts (measured ~30 ms/MB first-touch on the bench VM — see
+    # docs/performance.md round 4), so the hot loop never allocates.
+    # frame_source may accept an optional third `out` argument to decode
+    # straight into the buffer (FrameReader.read_batch does).
+    try:
+        accepts_out = len(inspect.signature(frame_source).parameters) >= 3
+    except (TypeError, ValueError):
+        accepts_out = False
+    raw_bufs = [
+        _scratch_buffer(("video-raw", i, PC, H, W), (PC, H, W)) for i in range(2)
+    ]
+    canvases = [None, None]
+    if (PH, PW) != (H, W):
+        canvases = [
+            _scratch_buffer(("video-canvas", i, PC, PH, PW), (PC, PH, PW)) for i in range(2)
+        ]
+        for c in canvases:
+            c[:] = 0
+
+    def _fetch(start: int, count: int, buf: np.ndarray, canvas) -> np.ndarray:
+        if accepts_out:
+            frames = frame_source(start, count, buf[:count])
+        else:
+            frames = frame_source(start, count)
+        if canvas is not None:
+            canvas[:count, :H, :W] = frames
+            if count < PC:
+                canvas[count:] = 0
+            return canvas
+        if count < PC:  # tail chunk: stale rows are never indexed, but be safe
+            buf[:count] = frames
+            buf[count:] = 0
+            return buf
+        return frames if frames.shape == (PC, H, W) else np.ascontiguousarray(frames)
+
+    pending: dict = {}
+
+    def _prefetch(start: int, count: int, slot: int) -> threading.Thread:
+        def worker():
+            try:
+                pending["frames"] = _fetch(start, count, raw_bufs[slot], canvases[slot])
+            except BaseException as e:  # re-raised on join by the consumer
+                pending["error"] = e
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        return t
+
+    thread = _prefetch(0, min(chunk_frames, num_frames), 0)
+
+    for i, start_cycle in enumerate(range(0, n_cycles, cycles_per_chunk)):
         n = min(cycles_per_chunk, n_cycles - start_cycle)
-        frames = next_chunk
-        if frames.shape != (PC, PH, PW):  # tail chunk and/or alignment pad
-            padded = np.zeros((PC, PH, PW), np.uint8)
-            padded[: frames.shape[0], :H, :W] = frames
-            frames = padded
+        thread.join()
+        if "error" in pending:
+            raise pending["error"]
+        frames = pending.pop("frames")
+
+        # kick off the next chunk's read+decode into the OTHER buffer BEFORE
+        # this chunk's upload + device scan — decode (C++ loader / cv2) and
+        # the device transfer both release the GIL, so the stages overlap
+        # even on a single-core host (tools/bench_video.py measures this)
+        nxt = (start_cycle + cycles_per_chunk) * L
+        if nxt < n_cycles * L:
+            thread = _prefetch(nxt, min(chunk_frames, num_frames - nxt), (i + 1) % 2)
 
         ctl = controller._replace(
             consts={**controller.consts, "frames": jnp.asarray(frames), "frame0": jnp.int32(start_cycle * L)}
@@ -262,10 +345,5 @@ def run_video_live(
             params, ctl, init_position, n, start_cycle=start_cycle, carry=carry, return_carry=True
         )
         logs_parts.append(logs)
-
-        # prefetch the next chunk on host while the device works
-        nxt = (start_cycle + cycles_per_chunk) * L
-        if nxt < n_cycles * L:
-            next_chunk = frame_source(nxt, min(chunk_frames, num_frames - nxt))
 
     return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *logs_parts)

@@ -80,25 +80,35 @@ class FrameReader:
             raise IndexError("index out of bounds")
         return cv.imread(self._path_of(idx), self._read_format).astype(np.uint8, copy=False)
 
-    def read_batch(self, indices: np.ndarray | list[int] | None = None) -> np.ndarray:
+    def read_batch(
+        self, indices: np.ndarray | list[int] | None = None, out: np.ndarray | None = None
+    ) -> np.ndarray:
         """Decode many frames into one contiguous uint8 array ``(N, *frame_shape)``.
 
         BMP sources decode through the native multithreaded loader
         (:mod:`wtracker_tpu.runtime`) when available — one parallel decode
         into the batch buffer instead of per-frame ``cv.imread`` calls.
+
+        ``out`` optionally receives the frames in place (shape
+        ``(len(indices), *frame_shape)``); streaming callers should reuse a
+        buffer — fresh-allocation page faults cost more than the decode
+        itself on some hosts (docs/performance.md round 4).
         """
         picks = list(range(len(self))) if indices is None else [int(i) for i in indices]
+        if out is not None and out.shape != (len(picks), *self._frame_shape):
+            raise ValueError(f"out shape {out.shape} != {(len(picks), *self._frame_shape)}")
 
-        fast = self._try_native_batch(picks)
+        fast = self._try_native_batch(picks, out)
         if fast is not None:
             return fast
 
-        out = np.empty((len(picks), *self._frame_shape), dtype=np.uint8)
+        if out is None:
+            out = np.empty((len(picks), *self._frame_shape), dtype=np.uint8)
         for slot, idx in enumerate(picks):
             out[slot] = self[idx]
         return out
 
-    def _try_native_batch(self, indices: list[int]) -> np.ndarray | None:
+    def _try_native_batch(self, indices: list[int], out: np.ndarray | None = None) -> np.ndarray | None:
         if self._read_format not in (cv.IMREAD_GRAYSCALE, cv.IMREAD_COLOR):
             return None
         paths = [self._path_of(i) for i in indices]
@@ -110,7 +120,9 @@ class FrameReader:
             if not native.native_available():
                 return None
             h, w = self._frame_shape[:2]
-            return native.load_batch_bmp(paths, h, w, gray=self._read_format == cv.IMREAD_GRAYSCALE)
+            return native.load_batch_bmp(
+                paths, h, w, gray=self._read_format == cv.IMREAD_GRAYSCALE, out=out
+            )
         except Exception:
             return None  # any native hiccup falls back to the cv2 loop
 
