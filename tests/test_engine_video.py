@@ -100,6 +100,88 @@ def test_video_first_cycle_matches_manual_detection(video):
     np.testing.assert_allclose(got, want, atol=1e-3)
 
 
+def _window_source(frames):
+    """In-memory window_source matching FrameReader.read_window_batch's contract."""
+
+    def source(start, count, top_lefts, out=None):
+        tls = np.asarray(top_lefts, dtype=int)
+        assert out is not None  # the ROI loop always streams into scratch buffers
+        win_h, win_w = out.shape[1:3]
+        for i, (x, y) in enumerate(tls):
+            out[i] = frames[start + i, y : y + win_h, x : x + win_w]
+        return out
+
+    return source
+
+
+def test_video_roi_matches_full(video):
+    """ROI streaming (speculated windows) is bit-identical to full frames."""
+    frames, traj = video
+    exp = ExperimentConfig("vid", len(frames), 60, frames.shape[1:], 90, (180, 150))
+    timing = TimingConfig(experiment_config=exp, **TIMING_KWARGS)
+    params = EngineParams.from_timing(timing, frames.shape[1:])
+
+    model, variables, predictor = _models()
+    cfg = LiveLoopConfig(imgsz=(64, 64), conf=0.0, ring_size=32, log_mode=True, max_dist_per_pred=20.0)
+    source = lambda s, n: frames[s : s + n]
+
+    full = run_video_live(
+        params, cfg, source, len(frames), model, variables, predictor, exp.init_position, cycles_per_chunk=16
+    )
+    stats = {}
+    roi = run_video_live(
+        params, cfg, source, len(frames), model, variables, predictor, exp.init_position,
+        window_source=_window_source(frames), roi_window=168, roi_chunk_cycles=4, roi_stats=stats,
+    )
+    np.testing.assert_array_equal(np.asarray(full.positions), np.asarray(roi.positions))
+    np.testing.assert_array_equal(np.asarray(full.worm_bboxes), np.asarray(roi.worm_bboxes))
+    assert stats["chunks"] > 0
+
+
+def test_video_roi_recovery_replays_missed_windows(video):
+    """A window barely larger than the camera view forces speculation misses;
+    replay recovery must still reproduce the full-frame run exactly."""
+    frames, traj = video
+    exp = ExperimentConfig("vid", len(frames), 60, frames.shape[1:], 90, (180, 150))
+    timing = TimingConfig(experiment_config=exp, **TIMING_KWARGS)
+    params = EngineParams.from_timing(timing, frames.shape[1:])
+
+    model, variables, predictor = _models()
+    cfg = LiveLoopConfig(imgsz=(64, 64), conf=0.0, ring_size=32, log_mode=True, max_dist_per_pred=20.0)
+    source = lambda s, n: frames[s : s + n]
+
+    full = run_video_live(
+        params, cfg, source, len(frames), model, variables, predictor, exp.init_position, cycles_per_chunk=16
+    )
+    # camera is (cam_h, cam_w) = (99, 108); a (102, 112) window leaves ~2 px of
+    # slack, so almost any platform move escapes it
+    stats = {}
+    roi = run_video_live(
+        params, cfg, source, len(frames), model, variables, predictor, exp.init_position,
+        window_source=_window_source(frames),
+        roi_window=(params.cam_h + 3, params.cam_w + 4),
+        roi_chunk_cycles=8,
+        roi_stats=stats,
+    )
+    np.testing.assert_array_equal(np.asarray(full.positions), np.asarray(roi.positions))
+    np.testing.assert_array_equal(np.asarray(full.worm_bboxes), np.asarray(roi.worm_bboxes))
+    assert stats["replays"] > 0  # the tight window must actually have missed
+
+
+def test_video_roi_requires_window_source(video):
+    frames, _ = video
+    exp = ExperimentConfig("vid", len(frames), 60, frames.shape[1:], 90, (180, 150))
+    timing = TimingConfig(experiment_config=exp, **TIMING_KWARGS)
+    params = EngineParams.from_timing(timing, frames.shape[1:])
+    model, variables, predictor = _models()
+    cfg = LiveLoopConfig(imgsz=(64, 64), conf=0.0, ring_size=32, log_mode=True, max_dist_per_pred=20.0)
+    with pytest.raises(ValueError, match="window_source"):
+        run_video_live(
+            params, cfg, lambda s, n: frames[s : s + n], len(frames), model, variables,
+            predictor, exp.init_position, roi_window=168,
+        )
+
+
 def test_video_loop_pallas_preproc_matches(video):
     """The fused Pallas preprocessing path equals the unfused path."""
     from jax.experimental.pallas import tpu as pltpu

@@ -75,8 +75,13 @@ def generate(out_dir: str, n_frames: int, seed: int = 0, batch: int = 15, cpu: b
     print(f"generated {n_frames} frames in {time.perf_counter() - t0:.0f}s -> {out_dir}")
 
 
-def run(frames_dir: str, variant: str, chunk_cycles: int = 64) -> dict:
+def run(frames_dir: str, variant: str, chunk_cycles: int = 64, roi: int | None = None,
+        roi_chunk_cycles: int = 8) -> dict:
     """Measure the disk→decode→track path; returns the result dict.
+
+    ``roi`` enables ROI streaming: only a ``roi``-sized window per frame is
+    read off disk and shipped to the device (speculated windows + exact replay
+    recovery — output identical to the full-frame path).
 
     Also importable from bench.py's opt-in BENCH_VIDEO phase."""
     import jax.numpy as jnp
@@ -111,6 +116,11 @@ def run(frames_dir: str, variant: str, chunk_cycles: int = 64) -> dict:
         with timer("host decode"):
             return reader.read_batch(list(range(start, start + count)), out=out)
 
+    def window_source(start: int, count: int, tls: np.ndarray, out: np.ndarray = None) -> np.ndarray:
+        with timer("host decode"):
+            return reader.read_window_batch(list(range(start, start + count)), tls, (roi, roi), out=out)
+
+    roi_stats: dict = {}
     common = dict(
         params=params,
         config=cfg,
@@ -122,6 +132,10 @@ def run(frames_dir: str, variant: str, chunk_cycles: int = 64) -> dict:
         cycles_per_chunk=chunk_cycles,
         detect_fn=detect_fn,
         detect_preprocessed_fn=detect_preprocessed_fn,
+        roi_window=roi,
+        roi_chunk_cycles=roi_chunk_cycles,
+        window_source=window_source if roi else None,
+        roi_stats=roi_stats,
     )
 
     # warmup: compile the chunked runner on a two-chunk prefix
@@ -142,8 +156,9 @@ def run(frames_dir: str, variant: str, chunk_cycles: int = 64) -> dict:
     # decode overlaps device compute when the loop's wall time stays near
     # max(decode, device) rather than their sum
     result = {
-        "metric": f"video-path closed-loop steps/s ({variant}, YOLOv8s@416, "
-        f"{num_frames} x {ARENA[0]}x{ARENA[1]} BMP frames from disk)",
+        "metric": f"video-path closed-loop steps/s ({variant}"
+        + (f", ROI {roi}px" if roi else "")
+        + f", YOLOv8s@416, {num_frames} x {ARENA[0]}x{ARENA[1]} BMP frames from disk)",
         "value": round(steps_per_sec, 1),
         "unit": "steps/s",
         "wall_s": round(dt, 1),
@@ -152,6 +167,8 @@ def run(frames_dir: str, variant: str, chunk_cycles: int = 64) -> dict:
         "frames": num_frames,
         "cycles": n_cycles,
     }
+    if roi:
+        result["roi"] = {"window_px": roi, **roi_stats}
     return result
 
 
@@ -164,6 +181,10 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--variant", default="bf16", choices=["bf16", "int8"])
     ap.add_argument("--chunk-cycles", type=int, default=64)
+    ap.add_argument("--roi", type=int, default=None, metavar="PX",
+                    help="ROI streaming window size (e.g. 512); identical output, "
+                    "fraction of the disk/upload bytes")
+    ap.add_argument("--roi-chunk-cycles", type=int, default=8)
     ap.add_argument("--json", action="store_true", help="one-line JSON output")
     args = ap.parse_args()
 
@@ -172,7 +193,8 @@ def main() -> None:
         return
     if not os.path.isdir(args.dir):
         sys.exit(f"{args.dir} does not exist — run with --generate first")
-    result = run(args.dir, args.variant, args.chunk_cycles)
+    result = run(args.dir, args.variant, args.chunk_cycles, roi=args.roi,
+                 roi_chunk_cycles=args.roi_chunk_cycles)
     print(json.dumps(result) if args.json else json.dumps(result, indent=2))
 
 

@@ -30,6 +30,17 @@ def main() -> None:
     ap.add_argument("--conf", type=float, default=0.1)
     ap.add_argument("--chunk-cycles", type=int, default=64)
     ap.add_argument(
+        "--roi",
+        type=int,
+        default=None,
+        metavar="PX",
+        help="ROI streaming: read/upload only a PX-sized window per frame "
+        "(speculated from the platform trajectory; missed windows replay "
+        "exactly, so output is identical to full-frame). Cuts cold-disk "
+        "bytes ~full_h/PX and host->device bytes by the window area ratio.",
+    )
+    ap.add_argument("--roi-chunk-cycles", type=int, default=8)
+    ap.add_argument(
         "--pallas-preproc",
         action=argparse.BooleanOptionalAction,
         default=None,
@@ -98,6 +109,7 @@ def main() -> None:
         use_pallas_preproc=args.pallas_preproc,
     )
 
+    roi_stats: dict = {}
     logs = run_video_live(
         params,
         cfg,
@@ -110,7 +122,19 @@ def main() -> None:
         cycles_per_chunk=args.chunk_cycles,
         detect_fn=detect_fn,
         detect_preprocessed_fn=detect_preprocessed_fn,
+        roi_window=args.roi,
+        roi_chunk_cycles=args.roi_chunk_cycles,
+        window_source=(
+            lambda s, n, tls, out=None: reader.read_window_batch(
+                range(s, s + n), tls, (args.roi, args.roi), out=out
+            )
+        )
+        if args.roi
+        else None,
+        roi_stats=roi_stats,
     )
+    if roi_stats:
+        print(f"ROI streaming: {roi_stats['chunks']} chunks, {roi_stats['replays']} replays")
 
     df = logs_to_frame(params, logs)
     create_directory(args.output)

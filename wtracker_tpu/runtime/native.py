@@ -63,6 +63,21 @@ def get_lib():
             ctypes.c_int,
         ]
         lib.wt_load_batch_bmp.restype = ctypes.c_int
+        lib.wt_load_batch_bmp_window.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_long,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.wt_load_batch_bmp_window.restype = ctypes.c_int
         _lib = lib
     except Exception as e:  # no toolchain / unsupported platform
         _lib_error = str(e)
@@ -131,4 +146,65 @@ def load_batch_bmp(
     )
     if rc != 0:
         raise ValueError(f"BMP batch decode failed (code {rc})")
+    return out
+
+
+def load_batch_bmp_window(
+    paths: list[str],
+    full_h: int,
+    full_w: int,
+    top_lefts: np.ndarray,
+    win_h: int,
+    win_w: int,
+    gray: bool = True,
+    n_threads: int | None = None,
+    out: np.ndarray | None = None,
+) -> np.ndarray:
+    """Decode one ``(win_h, win_w)`` window per BMP in parallel (ROI streaming).
+
+    BMP rows are contiguous on disk, so each window costs one seek + one read
+    of ``win_h`` full rows — a tracker that only looks at a camera-sized view
+    never reads the rest of the frame.
+
+    Args:
+        paths: BMP file paths; all frames must be (full_h, full_w).
+        top_lefts: (N, 2) int window origins in (x, y) order, one per frame;
+            windows must lie fully inside the frame.
+        gray: single-channel output (OpenCV-exact BGR→gray weights).
+        out: optional preallocated output of shape (N, win_h, win_w[, 3]).
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(f"native loader unavailable: {_lib_error}")
+
+    n = len(paths)
+    tls = np.ascontiguousarray(np.asarray(top_lefts, dtype=np.int32).reshape(n, 2))
+    shape = (n, win_h, win_w) if gray else (n, win_h, win_w, 3)
+    if out is None:
+        out = np.empty(shape, dtype=np.uint8)
+    assert out.shape == shape and out.dtype == np.uint8 and out.flags["C_CONTIGUOUS"]
+
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    x0s = np.ascontiguousarray(tls[:, 0])
+    y0s = np.ascontiguousarray(tls[:, 1])
+    frame_stride = win_h * win_w * (1 if gray else 3)
+    rc = lib.wt_load_batch_bmp_window(
+        arr,
+        n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        frame_stride,
+        full_h,
+        full_w,
+        x0s.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        y0s.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        win_h,
+        win_w,
+        1 if gray else 0,
+        n_threads,
+    )
+    if rc != 0:
+        raise ValueError(f"BMP window batch decode failed (code {rc})")
     return out

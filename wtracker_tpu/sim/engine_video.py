@@ -72,12 +72,22 @@ def video_live_controller(
     chunk_shape: tuple[int, int, int],
     detect_fn=None,
     detect_preprocessed_fn=None,
+    roi_full_hw: tuple[int, int] | None = None,
 ) -> CycleController:
     """Single-stream live controller reading views from a resident frame chunk.
 
     ``consts`` carries ``{"det", "mlp", "frames" (C, H, W) uint8, "frame0"}``;
     swap ``frames``/``frame0`` per chunk via ``controller._replace(consts=...)``
     — shapes stay fixed, so the compiled runner is reused.
+
+    ROI streaming (``roi_full_hw=(full_h, full_w)``): the resident chunk holds
+    per-frame *windows* of the recording, not full frames — ``chunk_shape`` is
+    the window chunk and consts gain ``"win_tl"`` (C, 2) int32, each window's
+    arena-coordinate origin in (x, y) order.  Crops are positioned relative to
+    their frame's window; a crop that a mispredicted window cannot contain is
+    clamped in-window, and the host (:func:`run_video_live`) detects that from
+    the logged positions and replays the chunk with corrected windows, so the
+    final logs are identical to the full-frame path.
 
     ``detect_fn(model, variables, views, imgsz, conf)`` /
     ``detect_preprocessed_fn(model, variables, x, geometry, imgsz, conf)``
@@ -96,6 +106,10 @@ def video_live_controller(
     cam_half = jnp.array([params.cam_w // 2, params.cam_h // 2], dtype=jnp.int32)
     view_hw = (params.cam_h, params.cam_w)
     C, H, W = chunk_shape
+    # arena bounds for crop clamping: the full recording frame (ROI mode) or
+    # the resident chunk itself (full-frame mode)
+    FH, FW = roi_full_hw if roi_full_hw is not None else (H, W)
+    roi = roi_full_hw is not None
 
     _detect = _resolve_detect(detect_fn, config, detector_model, detector_variables, view_hw)
     square = params.cam_w == params.cam_h and config.imgsz[0] == config.imgsz[1]
@@ -128,21 +142,32 @@ def video_live_controller(
         "frames": jnp.zeros((C, PH, PW), jnp.uint8),
         "frame0": jnp.int32(0),
     }
+    if roi:
+        consts["win_tl"] = jnp.zeros((C, 2), jnp.int32)
 
     def crop_and_detect(consts, frame_idx, cam_tls):
         """frame_idx (N,) absolute; cam_tls (N, 2) arena coords → (N, 4) abs."""
         local = jnp.clip(frame_idx - consts["frame0"], 0, C - 1)
         # clamp crops fully inside the (original) frame
         tls = jnp.stack(
-            [jnp.clip(cam_tls[:, 0], 0, W - params.cam_w), jnp.clip(cam_tls[:, 1], 0, H - params.cam_h)],
+            [jnp.clip(cam_tls[:, 0], 0, FW - params.cam_w), jnp.clip(cam_tls[:, 1], 0, FH - params.cam_h)],
             axis=1,
         )
+        if roi:
+            # window-relative crop origin; the in-window clamp keeps the slice
+            # legal on a mispredicted window (the host replays such chunks)
+            win_tl = jnp.take(consts["win_tl"], local, axis=0)
+            crop_tls = jnp.clip(
+                tls - win_tl, 0, jnp.array([W - params.cam_w, H - params.cam_h], jnp.int32)
+            )
+        else:
+            crop_tls = tls
         if use_pallas:
             from wtracker_tpu.models.yolov8 import detect_top1_preprocessed, letterbox_params
             from wtracker_tpu.ops.pallas_preproc import crop_letterbox_views
 
             x = crop_letterbox_views(
-                consts["frames"], local, tls, params.cam_w, config.imgsz[0],
+                consts["frames"], local, crop_tls, params.cam_w, config.imgsz[0],
                 out_dtype=detector_model.compute_dtype,
                 orig_hw=(H, W),
             )
@@ -153,7 +178,7 @@ def video_live_controller(
             )
         else:
             frames = jnp.take(consts["frames"], local, axis=0)  # (N, H, W)
-            views = crop_views(frames, tls, view_hw)
+            views = crop_views(frames, crop_tls, view_hw)
             boxes = _detect(detector_model, consts["det"], views, config.imgsz, config.conf)
         return boxes.at[:, :2].add(tls.astype(boxes.dtype))
 
@@ -217,7 +242,7 @@ def video_live_controller(
         consts=consts,
         # chunk_shape is baked into the crop indexing — part of the program
         cache_key=(
-            "video", detect_fn, detect_preprocessed_fn, tuple(chunk_shape),
+            "video", detect_fn, detect_preprocessed_fn, tuple(chunk_shape), roi_full_hw,
             config, repr(detector_model), repr(mlp_model), tuple(io.input_frames),
         ),
     )
@@ -235,6 +260,11 @@ def run_video_live(
     cycles_per_chunk: int = 64,
     detect_fn=None,
     detect_preprocessed_fn=None,
+    window_source: Callable | None = None,
+    roi_window: int | tuple[int, int] | None = None,
+    roi_chunk_cycles: int = 8,
+    roi_speed_cap: float = 25.0,
+    roi_stats: dict | None = None,
 ) -> CycleLog:
     """Run the live loop over a whole recording, chunk by chunk.
 
@@ -247,9 +277,33 @@ def run_video_live(
             ``cycles_per_chunk · cycle_n · H · W`` bytes).
         detect_fn / detect_preprocessed_fn: alternate detector implementation
             (see :func:`video_live_controller`) — e.g. the int8 serving path.
+        roi_window: ROI streaming — read/upload only a ``roi_window``-sized
+            window per frame (int or ``(win_h, win_w)``) instead of the whole
+            frame.  Window origins are speculated ahead of the scan by
+            extrapolating the platform trajectory; a chunk whose window missed
+            a crop is detected from the logged positions and replayed with
+            corrected windows, so the result is IDENTICAL to the full-frame
+            path.  Requires ``window_source``.
+        window_source: ``(start_frame, count, top_lefts (N,2) xy, out=None) ->
+            (count, win_h, win_w) uint8`` — e.g. a closure over
+            :meth:`FrameReader.read_window_batch`.
+        roi_chunk_cycles: ROI chunk size in cycles (short chunks keep the
+            speculation lookahead — two chunks — tight).
+        roi_speed_cap: speculation velocity cap, px/cycle per axis.
+        roi_stats: optional dict that receives ROI counters
+            (``chunks``, ``replays``).
 
     Returns stacked logs over all complete cycles.
     """
+    if roi_window is not None:
+        if window_source is None:
+            raise ValueError("roi_window requires window_source")
+        win_hw = (roi_window, roi_window) if isinstance(roi_window, int) else tuple(roi_window)
+        return _run_video_live_roi(
+            params, config, frame_source, window_source, num_frames, detector_model,
+            detector_variables, predictor, init_position, win_hw, roi_chunk_cycles,
+            roi_speed_cap, detect_fn, detect_preprocessed_fn, roi_stats,
+        )
     L = params.cycle_n
     n_cycles = params.n_logged_cycles(num_frames)
     chunk_frames = cycles_per_chunk * L
@@ -347,3 +401,243 @@ def run_video_live(
         logs_parts.append(logs)
 
     return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *logs_parts)
+
+
+def _run_video_live_roi(
+    params: EngineParams,
+    config: LiveLoopConfig,
+    frame_source: Callable,
+    window_source: Callable,
+    num_frames: int,
+    detector_model: YoloV8,
+    detector_variables: dict,
+    predictor,
+    init_position: tuple[int, int],
+    win_hw: tuple[int, int],
+    chunk_cycles: int,
+    speed_cap: float,
+    detect_fn,
+    detect_preprocessed_fn,
+    roi_stats: dict | None,
+) -> CycleLog:
+    """ROI streaming: speculated per-frame windows + exact replay recovery.
+
+    The tracker only ever crops a camera-sized view, so reading and uploading
+    whole frames wastes ``full_area/window_area`` of every byte (the two
+    measured bottlenecks of the full-frame path — cold disk reads and the
+    host→device transfer, docs/performance.md round 4).  Windows for a chunk
+    are speculated by constant-velocity extrapolation of the platform
+    trajectory *one chunk ahead* (so decode still overlaps device compute);
+    after each chunk's scan the logged positions prove whether every crop was
+    inside its window.  A miss replays the chunk from its entry carry with
+    corrected windows — cycles with verified positions get exactly-centered
+    windows, later cycles a fresh speculation — so the output is bit-identical
+    to the full-frame path no matter how bad the speculation was.
+    """
+    L = params.cycle_n
+    IM = params.imaging_n
+    n_cycles = params.n_logged_cycles(num_frames)
+    F = chunk_cycles * L
+    win_h, win_w = win_hw
+
+    probe = frame_source(0, 1)
+    H, W = probe.shape[1:3]
+    if not (params.cam_h <= win_h <= H and params.cam_w <= win_w <= W):
+        raise ValueError(f"roi_window {win_hw} must cover the camera view and fit the frame")
+
+    controller = video_live_controller(
+        params, config, detector_model, detector_variables, predictor,
+        (F, win_h, win_w), detect_fn=detect_fn,
+        detect_preprocessed_fn=detect_preprocessed_fn, roi_full_hw=(H, W),
+    )
+    PC, PH, PW = controller.consts["frames"].shape
+
+    cam_half = np.array([params.cam_w // 2, params.cam_h // 2], dtype=np.int64)
+    cam_max = np.array([W - params.cam_w, H - params.cam_h], dtype=np.int64)
+    win_half = np.array([win_w // 2, win_h // 2], dtype=np.int64)
+    win_max = np.array([W - win_w, H - win_h], dtype=np.int64)
+    slack = np.array([win_w - params.cam_w, win_h - params.cam_h], dtype=np.int64)
+
+    # verified per-frame platform positions (filled as chunks pass their check)
+    known = np.zeros((n_cycles, L, 2), dtype=np.int64)
+
+    def _vel(hist, anchor_cycle: int) -> np.ndarray:
+        """px/cycle from up to 4 verified cycles back; capped (a velocity read
+        across an arena-bounce would otherwise fling the speculation)."""
+        k = min(4, anchor_cycle)
+        if k <= 0:
+            return np.zeros(2)
+        v = (hist(anchor_cycle) - hist(anchor_cycle - k)) / k
+        return np.clip(v, -speed_cap, speed_cap)
+
+    def _center(pos: np.ndarray) -> np.ndarray:
+        """Window origins centered on positions, clipped into the frame."""
+        return np.clip(np.round(pos).astype(np.int64) - win_half, 0, win_max)
+
+    def speculate(first_cycle: int, n: int, anchor_cycle: int, hist) -> np.ndarray:
+        """(n·L, 2) int32 window origins for cycles [first_cycle, first_cycle+n)."""
+        if anchor_cycle < 0:
+            pred = np.tile(np.asarray(init_position, dtype=np.float64), (n, 1))
+        else:
+            p = hist(anchor_cycle).astype(np.float64)
+            v = _vel(hist, anchor_cycle)
+            cs = np.arange(first_cycle, first_cycle + n, dtype=np.float64)
+            pred = p + v * (cs - anchor_cycle)[:, None]
+        return np.repeat(_center(pred), L, axis=0).astype(np.int32)
+
+    def check(pos: np.ndarray, wtl: np.ndarray) -> tuple[int, int] | None:
+        """First (cycle, row) whose crop fell outside its window, else None.
+
+        Mirrors the device's crop origin math exactly: arena top-left =
+        clip(position − cam_half, 0, frame − cam)."""
+        ctl = np.clip(pos.reshape(-1, 2).astype(np.int64) - cam_half, 0, cam_max)
+        d = ctl - wtl[: ctl.shape[0]].astype(np.int64)
+        bad = ((d < 0) | (d > slack)).any(axis=1)
+        if not bad.any():
+            return None
+        flat = int(np.argmax(bad))
+        return flat // L, flat % L
+
+    known_hist = lambda c: known[c, 0]
+
+    # streaming buffers: ping/pong prefetch + a dedicated replay target (a
+    # replay can run while the next chunk's prefetch owns the other slot)
+    raw_bufs = [_scratch_buffer(("video-roi-raw", i, F, win_h, win_w), (F, win_h, win_w)) for i in range(3)]
+    canvases = [None, None, None]
+    if (PH, PW) != (win_h, win_w):
+        canvases = [
+            _scratch_buffer(("video-roi-canvas", i, PC, PH, PW), (PC, PH, PW)) for i in range(3)
+        ]
+        for c in canvases:
+            c[:] = 0
+
+    def _fetch(start: int, count: int, wtl: np.ndarray, slot: int) -> np.ndarray:
+        buf, canvas = raw_bufs[slot], canvases[slot]
+        frames = window_source(start, count, wtl[:count], out=buf[:count])
+        if canvas is not None:
+            canvas[:count, :win_h, :win_w] = frames
+            if count < PC:
+                canvas[count:] = 0
+            return canvas
+        if count < PC:
+            buf[count:] = 0
+        return buf
+
+    import threading
+
+    pending: dict = {}
+
+    def _prefetch(start: int, count: int, wtl: np.ndarray, slot: int) -> threading.Thread:
+        def worker():
+            try:
+                pending["frames"] = _fetch(start, count, wtl, slot)
+            except BaseException as e:
+                pending["error"] = e
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        return t
+
+    def _dispatch(c0: int, n: int, wtl: np.ndarray, frames: np.ndarray, carry0):
+        wtl_pad = np.zeros((F, 2), np.int32)
+        wtl_pad[: n * L] = wtl
+        ctl = controller._replace(
+            consts={
+                **controller.consts,
+                "frames": jnp.asarray(frames),
+                "frame0": jnp.int32(c0 * L),
+                "win_tl": jnp.asarray(wtl_pad),
+            }
+        )
+        return run_engine(
+            params, ctl, init_position, n, start_cycle=c0, carry=carry0, return_carry=True
+        )
+
+    stats = {"chunks": 0, "replays": 0}
+
+    def _verify(ch: dict) -> bool:
+        """Block on the chunk's scan, replay until every crop was in-window.
+
+        Progress per replay is guaranteed: positions are verified through the
+        failing crop (an imaging-row miss taints only *later* rows — the move
+        that produced the failing row's position was decided on earlier,
+        in-window crops), verified cycles get exactly-centered windows, and a
+        centered window always contains its crop.  So the first-miss index
+        strictly increases and the loop terminates.
+        """
+        c0, n = ch["c0"], ch["n"]
+        replayed = False
+        for _ in range(n * L + 1):
+            pos = np.asarray(ch["logs"].positions)  # (n, L, 2) — forces the scan
+            miss = check(pos, ch["wtl"])
+            if miss is None:
+                break
+            replayed = True
+            stats["replays"] += 1
+            j, row = miss
+            # positions are true through cycle j's imaging rows always, and
+            # through ALL of cycle j when the miss was only in a moving-phase
+            # (log) crop — those never feed the controller state
+            j_true = j + 1 if row >= IM else j
+            new = np.empty((n * L, 2), np.int32)
+            new[: j_true * L] = _center(pos[:j_true].reshape(-1, 2))
+            if j_true < n:
+                hist = lambda c: known[c, 0] if c < c0 else pos[c - c0, 0]
+                anchor = c0 + j_true - 1 if j_true > 0 else c0 - 1
+                if row < IM:
+                    # cycle j's imaging position is true: anchor there
+                    anchor = c0 + j
+                new[j_true * L :] = speculate(c0 + j_true, n - j_true, anchor, hist)
+            frames = _fetch(c0 * L, n * L, new, 2)
+            logs, carry1 = _dispatch(c0, n, new, frames, ch["carry0"])
+            ch.update(wtl=new, logs=logs, carry1=carry1)
+        else:  # pragma: no cover — unreachable, see progress argument above
+            raise RuntimeError("ROI window recovery did not converge")
+        known[c0 : c0 + n] = np.asarray(ch["logs"].positions)
+        return replayed
+
+    from wtracker_tpu.sim.engine import init_carry as _init_carry
+
+    chunks = [
+        (c0, min(chunk_cycles, n_cycles - c0)) for c0 in range(0, n_cycles, chunk_cycles)
+    ]
+    carry = _init_carry(params, controller, init_position)
+    out_logs: list = [None] * len(chunks)
+    prev: dict | None = None
+
+    wtl_i = speculate(0, chunks[0][1], -1, known_hist)
+    thread = _prefetch(0, chunks[0][1] * L, wtl_i, 0)
+
+    for i, (c0, n) in enumerate(chunks):
+        stats["chunks"] += 1
+        thread.join()
+        if "error" in pending:
+            raise pending["error"]
+        frames_i = pending.pop("frames")
+
+        if prev is not None:
+            replayed = _verify(prev)
+            carry = prev["carry1"]
+            out_logs[prev["i"]] = prev["logs"]
+            if replayed:
+                # this chunk's prefetched windows grew from a stale anchor —
+                # refetch synchronously from the now-verified trajectory
+                wtl_i = speculate(c0, n, c0 - 1, known_hist)
+                frames_i = _fetch(c0 * L, n * L, wtl_i, 2)
+
+        if i + 1 < len(chunks):
+            c0n, nn = chunks[i + 1]
+            wtl_next = speculate(c0n, nn, c0 - 1, known_hist)
+            thread = _prefetch(c0n * L, nn * L, wtl_next, (i + 1) % 2)
+
+        logs, carry1 = _dispatch(c0, n, wtl_i, frames_i, carry)
+        prev = {"i": i, "c0": c0, "n": n, "wtl": wtl_i, "logs": logs, "carry0": carry, "carry1": carry1}
+        carry = carry1
+        if i + 1 < len(chunks):
+            wtl_i = wtl_next
+
+    _verify(prev)
+    out_logs[prev["i"]] = prev["logs"]
+    if roi_stats is not None:
+        roi_stats.update(stats)
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *out_logs)

@@ -108,6 +108,75 @@ class FrameReader:
             out[slot] = self[idx]
         return out
 
+    def read_window_batch(
+        self,
+        indices: np.ndarray | list[int],
+        top_lefts: np.ndarray,
+        window_hw: tuple[int, int],
+        out: np.ndarray | None = None,
+    ) -> np.ndarray:
+        """Decode one fixed-size window per frame (ROI streaming).
+
+        A closed-loop tracker only ever looks at a camera-sized view, so this
+        reads just the rows the window covers (BMP sources: one seek + one
+        contiguous read per frame through the native loader — cold-disk bytes
+        drop by ``full_h/win_h`` and decoded bytes by the window area ratio).
+
+        Args:
+            top_lefts: (N, 2) int window origins in (x, y) order; every window
+                must lie fully inside the frame.
+            window_hw: (win_h, win_w) shared window size.
+            out: optional preallocated ``(N, win_h, win_w[, C])`` uint8 target.
+        """
+        picks = [int(i) for i in indices]
+        win_h, win_w = window_hw
+        tls = np.asarray(top_lefts, dtype=np.int32).reshape(len(picks), 2)
+        full_h, full_w = self._frame_shape[:2]
+        if (
+            tls.min(initial=0) < 0
+            or (tls[:, 0] + win_w > full_w).any()
+            or (tls[:, 1] + win_h > full_h).any()
+        ):
+            raise ValueError("window out of frame bounds")
+        shape = (len(picks), win_h, win_w, *self._frame_shape[2:])
+        if out is not None and out.shape != shape:
+            raise ValueError(f"out shape {out.shape} != {shape}")
+
+        fast = self._try_native_window_batch(picks, tls, window_hw, out)
+        if fast is not None:
+            return fast
+
+        if out is None:
+            out = np.empty(shape, dtype=np.uint8)
+        for slot, (idx, (x0, y0)) in enumerate(zip(picks, tls)):
+            out[slot] = self[idx][y0 : y0 + win_h, x0 : x0 + win_w]
+        return out
+
+    def _try_native_window_batch(
+        self,
+        indices: list[int],
+        tls: np.ndarray,
+        window_hw: tuple[int, int],
+        out: np.ndarray | None = None,
+    ) -> np.ndarray | None:
+        if self._read_format not in (cv.IMREAD_GRAYSCALE, cv.IMREAD_COLOR):
+            return None
+        paths = [self._path_of(i) for i in indices]
+        if not paths or not all(p.lower().endswith(".bmp") for p in paths):
+            return None
+        try:
+            from wtracker_tpu.runtime import native
+
+            if not native.native_available():
+                return None
+            h, w = self._frame_shape[:2]
+            return native.load_batch_bmp_window(
+                paths, h, w, tls, *window_hw,
+                gray=self._read_format == cv.IMREAD_GRAYSCALE, out=out,
+            )
+        except Exception:
+            return None  # any native hiccup falls back to the cv2 loop
+
     def _try_native_batch(self, indices: list[int], out: np.ndarray | None = None) -> np.ndarray | None:
         if self._read_format not in (cv.IMREAD_GRAYSCALE, cv.IMREAD_COLOR):
             return None
