@@ -168,6 +168,44 @@ def test_video_roi_recovery_replays_missed_windows(video):
     assert stats["replays"] > 0  # the tight window must actually have missed
 
 
+def test_video_roi_int8_matches_full(video):
+    """ROI streaming through the int8 detect_fn hook (the deployment form)
+    equals the int8 full-frame run bit-for-bit."""
+    frames, traj = video
+    exp = ExperimentConfig("vid", len(frames), 60, frames.shape[1:], 90, (180, 150))
+    timing = TimingConfig(experiment_config=exp, **TIMING_KWARGS)
+    params = EngineParams.from_timing(timing, frames.shape[1:])
+
+    model, variables, predictor = _models()
+    from wtracker_tpu.models.yolov8 import fuse_conv_bn
+    from wtracker_tpu.models.yolov8_int8 import detect_top1_int8, quantize_detector
+
+    fused = fuse_conv_bn(variables)
+    from wtracker_tpu.models.yolov8 import YoloV8
+
+    fmodel = YoloV8(nc=1, scale="n", fused=True)
+    calib = frames[:8, : params.cam_h, : params.cam_w].astype(np.float32)
+    q = quantize_detector(fmodel, fused, calib, (64, 64))
+    qw = q.device_weights()
+
+    def detect_int8(m, v, views, imgsz, conf):
+        return detect_top1_int8(q, v, views, imgsz, conf)
+
+    cfg = LiveLoopConfig(imgsz=(64, 64), conf=0.0, ring_size=32, log_mode=True, max_dist_per_pred=20.0)
+    source = lambda s, n: frames[s : s + n]
+    kw = dict(detect_fn=detect_int8)
+    full = run_video_live(
+        params, cfg, source, len(frames), fmodel, qw, predictor, exp.init_position,
+        cycles_per_chunk=16, **kw,
+    )
+    roi = run_video_live(
+        params, cfg, source, len(frames), fmodel, qw, predictor, exp.init_position,
+        window_source=_window_source(frames), roi_window=168, roi_chunk_cycles=4, **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(full.positions), np.asarray(roi.positions))
+    np.testing.assert_array_equal(np.asarray(full.worm_bboxes), np.asarray(roi.worm_bboxes))
+
+
 def test_video_roi_requires_window_source(video):
     frames, _ = video
     exp = ExperimentConfig("vid", len(frames), 60, frames.shape[1:], 90, (180, 150))
