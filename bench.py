@@ -391,6 +391,11 @@ def _measure() -> None:
             from tools.bench_video import run as run_video_bench
 
             result["video_path"] = run_video_bench(video_dir, "bf16")
+            # ROI streaming variant (identical output, fraction of the IO) —
+            # BENCH_VIDEO_ROI=0 skips, any other value is the window in px
+            roi = int(os.environ.get("BENCH_VIDEO_ROI", "512"))
+            if roi:
+                result["video_path_roi"] = run_video_bench(video_dir, "bf16", roi=roi)
         else:
             result["video_path"] = {"note": f"recording absent: {video_dir}"}
 
