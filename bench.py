@@ -162,20 +162,31 @@ def build_flagship(S: int | None = None, n_cycles: int | None = None, chunks: in
 
     arena = (1400, 1600)
     trajs = np.stack([make_trajectory(60_000, arena, seed=i) for i in range(S)])
-    # chunk the per-cycle flat batch so each detect sub-batch is ~360 views —
+    # chunk the per-cycle flat batch so each detect sub-batch stays HBM-friendly —
     # large flat batches thrash HBM (measured 38.3k img/s at B=360 vs 12.7k
-    # at B=1440, docs/performance.md)
+    # at B=1440, docs/performance.md). The sweet spot is dtype-dependent: the
+    # round-4 device-trace sweep found the int8 path fastest at ~240 views per
+    # sub-batch (136.5 ms/cycle at B=240 vs 140.7 at B=360 and a 193.5 cliff
+    # at B=180), while bf16 stays best at ~360.
     n_views = S * params.cycle_n
-    chunks = chunks or int(os.environ.get("BENCH_CHUNKS", "0")) or max(1, round(n_views / 360))
-    while n_views % chunks:
-        chunks -= 1
+
+    def pick_chunks(target_views: int) -> int:
+        c = chunks or int(os.environ.get("BENCH_CHUNKS", "0")) or max(
+            1, round(n_views / target_views)
+        )
+        while n_views % c:
+            c -= 1
+        return c
+
+    chunks_bf16 = pick_chunks(360)
+    chunks_int8 = pick_chunks(240)
     cfg = LiveLoopConfig(
         imgsz=(416, 416),
         conf=0.1,
         ring_size=64,
         log_mode=True,  # detect EVERY frame, like the logging reference loop
         max_dist_per_pred=54.0,
-        detect_chunks=chunks,
+        detect_chunks=chunks_bf16,
     )
     scene = SyntheticScene()
     init_pos = np.tile([700, 700], (S, 1))
@@ -211,9 +222,12 @@ def build_flagship(S: int | None = None, n_cycles: int | None = None, chunks: in
         if variant == "bf16":
             return make_stream_batch_fused(params, cfg, scene, trajs, det_model, det_vars, predictor)
         if variant == "int8":
+            from dataclasses import replace
+
             qw, detect_int8 = int8_path()
+            cfg8 = replace(cfg, detect_chunks=chunks_int8)
             return make_stream_batch_fused(
-                params, cfg, scene, trajs, det_model, qw, predictor, detect_fn=detect_int8
+                params, cfg8, scene, trajs, det_model, qw, predictor, detect_fn=detect_int8
             )
         raise ValueError(f"unknown variant {variant!r}")
 
@@ -264,6 +278,7 @@ def build_flagship(S: int | None = None, n_cycles: int | None = None, chunks: in
     return types.SimpleNamespace(
         params=params,
         cfg=cfg,
+        chunks_int8=chunks_int8,
         init_pos=init_pos,
         n_cycles=N_CYCLES,
         steps=steps,

@@ -81,8 +81,9 @@ def main() -> None:
     ctx = build_flagship(S=args.streams, n_cycles=args.cycles)
     ctl = ctx.make_ctl(args.variant)
 
+    chunks = ctx.chunks_int8 if args.variant == "int8" else ctx.cfg.detect_chunks
     print(f"[trace_profile] warmup compile ({args.variant}, S={args.streams}, "
-          f"{args.cycles} cycles/window, chunks={ctx.cfg.detect_chunks})...", flush=True)
+          f"{args.cycles} cycles/window, chunks={chunks})...", flush=True)
     logs = ctx.run(ctl)
     _ = float(jnp.sum(logs.positions))
 
