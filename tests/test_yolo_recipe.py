@@ -524,3 +524,50 @@ def test_detect_multi_finds_both_worms(trained_detector):
         centers = boxes[valid, :2] + boxes[valid, 2:] / 2
         d = np.hypot(*(centers - expect).T).min()
         assert d < 6.0, f"worm at {expect} missed (nearest detection {d:.1f} px)"
+
+
+def test_compact_uint8_storage_matches_f32_pipeline(tmp_path):
+    """Compact (N,H,W)-uint8 dataset storage (the deployment-scale memory
+    form, 12x smaller on device) trains to the same weights as the classic
+    (N,H,W,3)-f32 pipeline — the only difference is XLA lowering the on-device
+    /255 as a reciprocal multiply (1 input ulp), so weights after one epoch
+    agree to f32-noise tolerance (measured 4e-5; divergence compounds per
+    optimizer step, so the bound is one-epoch)."""
+    from wtracker_tpu.neural.yolo_recipe import load_yolo_dataset
+
+    rng = np.random.default_rng(0)
+    N, S = 10, 64
+    gray = rng.integers(0, 255, (N, S, S), dtype=np.uint8)
+    f32 = np.repeat(gray[..., None], 3, -1).astype(np.float32) / 255.0
+    gt = np.tile([[10.0, 10.0, 30.0, 30.0]], (N, 2, 1)).astype(np.float32)
+    cls = np.zeros((N, 2), np.int32)
+    mask = np.ones((N, 2), bool)
+    cfg = RecipeConfig(epochs=1, batch=4, val_fraction=0.0, close_mosaic=0,
+                       augment=AugmentConfig(mosaic=0.5))
+    model = YoloV8(nc=1, scale="n")
+    var = model.init(jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3), jnp.float32), train=False)
+
+    params = {}
+    for name, imgs in [("f32", f32), ("u8", gray)]:
+        run = YoloTrainingRun(model, jax.tree.map(np.copy, var), (S, S), cfg, n_train=N)
+        run.fit(imgs, gt, cls, mask, log=lambda *a: None)
+        params[name] = jax.tree.map(np.asarray, run.params)
+    for a, b in zip(jax.tree.leaves(params["f32"]), jax.tree.leaves(params["u8"])):
+        np.testing.assert_allclose(a, b, atol=2e-4)
+
+    # and the loader's gray_uint8 form is exactly its f32 form re-expanded
+    import cv2 as cv
+
+    (tmp_path / "im").mkdir(); (tmp_path / "lb").mkdir()
+    for i in range(3):
+        cv.imwrite(str(tmp_path / "im" / f"a{i}.png"),
+                   rng.integers(0, 255, (40, 56), dtype=np.uint8))
+        (tmp_path / "lb" / f"a{i}.txt").write_text("0 0.5 0.5 0.2 0.2\n")
+    imgs8, gt8, cls8, m8 = load_yolo_dataset(str(tmp_path / "im"), str(tmp_path / "lb"), 64,
+                                             gray_uint8=True)
+    imgsf, gtf, clsf, mf = load_yolo_dataset(str(tmp_path / "im"), str(tmp_path / "lb"), 64)
+    assert imgs8.dtype == np.uint8 and imgs8.shape == (3, 64, 64)
+    np.testing.assert_array_equal(
+        np.repeat(imgs8[..., None], 3, -1).astype(np.float32) / 255.0, imgsf
+    )
+    np.testing.assert_array_equal(gt8, gtf)

@@ -74,7 +74,11 @@ def main() -> None:
         load_yolo_dataset,
     )
 
-    images, gt, cls, mask = load_yolo_dataset(args.images, args.labels, args.imgsz, max_gt=args.max_gt)
+    # compact grayscale-uint8 storage: 12x less device memory than (N,s,s,3)
+    # f32, same training math to 1 input ulp (per-batch expansion on device)
+    images, gt, cls, mask = load_yolo_dataset(
+        args.images, args.labels, args.imgsz, max_gt=args.max_gt, gray_uint8=True
+    )
     print(f"{len(images)} images, {int(mask.sum())} boxes")
 
     aug = (

@@ -110,10 +110,19 @@ class RecipeConfig:
 # ---------------------------------------------------------------------------
 
 
-def load_yolo_dataset(images_dir: str, labels_dir: str, imgsz: int, max_gt: int = 4):
+def load_yolo_dataset(images_dir: str, labels_dir: str, imgsz: int, max_gt: int = 4,
+                      gray_uint8: bool = False):
     """Load a YOLO-format dataset (images + ``class cx cy w h`` label files)
     into padded arrays: (N,s,s,3) f32 images in [0,1], (N,G,4) xyxy gt boxes
     in pixels, (N,G) classes, (N,G) validity.
+
+    ``gray_uint8=True`` returns images as (N,s,s) uint8 instead — 12x less
+    memory, the right form for deployment-scale sets (1800 images @ 416 are
+    3.7 GB as (N,s,s,3) f32 but 311 MB compact).  The training step converts
+    per batch on device (broadcast to 3 channels + /255 in f32); XLA lowers
+    the /255 as a reciprocal multiply, so values agree with the f32 pipeline
+    to 1 input ulp (not bit-exact — tests/test_yolo_recipe.py pins the
+    equivalence tolerance).
 
     Non-square sources are LETTERBOXED to ``imgsz`` (aspect-preserving resize
     + centered 114 padding) with the matching label transform — the same
@@ -142,7 +151,9 @@ def load_yolo_dataset(images_dir: str, labels_dir: str, imgsz: int, max_gt: int 
             img = cv.resize(img, (new_w, new_h))
         canvas = np.full((imgsz, imgsz), 114, np.uint8)
         canvas[pad_top : pad_top + new_h, pad_left : pad_left + new_w] = img
-        images.append(np.repeat(canvas[..., None], 3, axis=-1).astype(np.float32) / 255.0)
+        images.append(
+            canvas if gray_uint8 else np.repeat(canvas[..., None], 3, axis=-1).astype(np.float32) / 255.0
+        )
 
         label_path = os.path.join(labels_dir, os.path.splitext(name)[0] + ".txt")
         gt = np.zeros((max_gt, 4), np.float32)
@@ -380,7 +391,10 @@ def _detections_for_map(model, variables, images, imgsz, conf, iou, max_det, chu
     run = _val_nms_fn(model, imgsz, conf, iou, max_det)
     outs = []
     for s in range(0, images.shape[0], chunk):
-        outs.append(jax.tree.map(np.asarray, run(variables, jnp.asarray(images[s : s + chunk]))))
+        part = np.asarray(images[s : s + chunk])
+        if part.dtype == np.uint8 and part.ndim == 3:  # compact gray storage
+            part = np.repeat(part[..., None], 3, axis=-1).astype(np.float32) / 255.0
+        outs.append(jax.tree.map(np.asarray, run(variables, jnp.asarray(part))))
     return [np.concatenate(parts, axis=0) for parts in zip(*outs)]
 
 
@@ -572,6 +586,8 @@ class YoloTrainingRun:
                 # gather this step's batch from the device-resident dataset —
                 # only one batch is ever materialized beyond the data itself
                 b_images = jnp.take(images, idx, axis=0)
+                if b_images.dtype == jnp.uint8:  # compact gray storage: expand per batch
+                    b_images = jnp.repeat(b_images[..., None], 3, axis=-1).astype(jnp.float32) / 255.0
                 b_gt = jnp.take(gt, idx, axis=0)
                 b_cls = jnp.take(cls, idx, axis=0)
                 b_mask = jnp.take(mask, idx, axis=0)
