@@ -142,17 +142,25 @@ def build_flagship(S: int | None = None, n_cycles: int | None = None, chunks: in
     N_CYCLES = n_cycles or int(os.environ.get("BENCH_CYCLES", "24"))
 
     # flagship models: YOLOv8s @416 bf16 (BN-fused inference form) + the
-    # reference's shipped ResMLP.  Detector weights are random because the
-    # reference's trained yolov8s blobs are absent from the mount
-    # (.MISSING_LARGE_BLOBS:6-7); throughput is weight-value independent
-    # (same graph, same dtypes), and BN folding runs on the same
-    # trained-scale code path either way — bf16 overflow risk from trained
-    # magnitudes is bounded by the conv+BN fold test suite.
+    # reference's shipped ResMLP.  Detector weights: the NATIVELY TRAINED
+    # s/416 checkpoint (models/yolov8s_worm416.npz, round 5) when present —
+    # so the bf16 headline, the int8 ratio and the latency numbers are all
+    # demonstrated on trained magnitudes, not just random init.  BENCH_WEIGHTS
+    # =random opts out (throughput itself is weight-value independent — same
+    # graph, same dtypes; the reference's own trained yolov8s blobs are absent
+    # upstream, .MISSING_LARGE_BLOBS:6-7).
     from wtracker_tpu.models.yolov8 import YoloV8Detector, fuse_conv_bn
 
-    _raw = YoloV8Detector.init_random(nc=1, scale="s", imgsz=(416, 416), compute_dtype=jnp.bfloat16, seed=0)
+    _ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)), "models", "yolov8s_worm416.npz")
+    _use_trained = os.path.exists(_ckpt) and os.environ.get("BENCH_WEIGHTS", "trained") != "random"
+    if _use_trained:
+        _raw = YoloV8Detector.load(_ckpt)
+        assert _raw.model.scale == "s" and tuple(_raw.imgsz) == (416, 416)
+    else:
+        _raw = YoloV8Detector.init_random(nc=1, scale="s", imgsz=(416, 416), compute_dtype=jnp.bfloat16, seed=0)
     det_model = YoloV8(nc=1, scale="s", compute_dtype=jnp.bfloat16, fused=True)
     det_vars = fuse_conv_bn(_raw.variables)
+    detector_weights = "trained:models/yolov8s_worm416.npz" if _use_trained else "random-init"
 
     resmlp_path = "/root/reference/models/ResMLP(imaging-200ms_pred-40ms_moving-50ms).pt"
     if os.path.exists(resmlp_path):
@@ -170,16 +178,25 @@ def build_flagship(S: int | None = None, n_cycles: int | None = None, chunks: in
     # at B=180), while bf16 stays best at ~360.
     n_views = S * params.cycle_n
 
-    def pick_chunks(target_views: int) -> int:
-        c = chunks or int(os.environ.get("BENCH_CHUNKS", "0")) or max(
-            1, round(n_views / target_views)
-        )
-        while n_views % c:
-            c -= 1
-        return c
+    def pick_chunks(target_views: int, env: str) -> int:
+        """Chunk count whose views/chunk lands nearest ``target_views``.
 
-    chunks_bf16 = pick_chunks(360)
-    chunks_int8 = pick_chunks(240)
+        Per-variant override first (BENCH_CHUNKS_INT8 / BENCH_CHUNKS_BF16),
+        then the shared BENCH_CHUNKS / ``chunks`` arg; otherwise search the
+        divisors of n_views in BOTH directions for the one minimizing
+        |views/chunk - target| (a downward-only search can land far past the
+        measured HBM knee for non-default stream counts)."""
+        override = chunks or int(os.environ.get(env, "0")) or int(os.environ.get("BENCH_CHUNKS", "0"))
+        if override:
+            c = override
+            while n_views % c:
+                c -= 1
+            return c
+        divisors = [d for d in range(1, n_views + 1) if n_views % d == 0]
+        return min(divisors, key=lambda d: abs(n_views / d - target_views))
+
+    chunks_bf16 = pick_chunks(360, "BENCH_CHUNKS_BF16")
+    chunks_int8 = pick_chunks(240, "BENCH_CHUNKS_INT8")
     cfg = LiveLoopConfig(
         imgsz=(416, 416),
         conf=0.1,
@@ -293,16 +310,32 @@ def build_flagship(S: int | None = None, n_cycles: int | None = None, chunks: in
     )
 
 
-def measure_decision_latency(ctx, variant: str, S: int, n: int = 50) -> dict:
+def _tails_ms(samples_s: list[float]) -> dict:
+    """p50/p95/max (ms) of a latency sample list — the statistics a deadline
+    guarantee is made of (a min or a mean hides the executions that miss)."""
+    a = np.sort(np.asarray(samples_s)) * 1e3
+    return {
+        "p50_ms": round(float(np.percentile(a, 50)), 3),
+        "p95_ms": round(float(np.percentile(a, 95)), 3),
+        "max_ms": round(float(a[-1]), 3),
+    }
+
+
+def measure_decision_latency(ctx, variant: str, S: int, n: int = 200) -> dict:
     """Per-decision latency of the deployment decision step, two ways:
 
-    - ``device_ms``: true device busy time per decision from an xplane trace
-      over ``n`` back-to-back decisions (the only trustworthy number through
-      the axon tunnel — wall-clock drifts 2x run to run, docs/performance.md);
-      on real hardware without the tunnel this is what the instrument pays.
-    - ``e2e_ms``: best-of-``n`` blocking wall time per decision through the
+    - ``device``: the PER-DECISION device busy-time distribution (p50/p95/max
+      over ``n`` decisions) from the xplane trace's "XLA Modules" events —
+      one event per dispatch, so the tail is measured, not inferred from a
+      mean. The trace is the only trustworthy methodology through the axon
+      tunnel (wall-clock drifts 2x run to run, docs/performance.md); on real
+      hardware without the tunnel this is what the instrument pays.
+    - ``e2e``: blocking wall-time distribution per decision through the
       tunnel (upper bound: includes the tunnel's ~36 ms dispatch round trip,
       which a co-located host would not pay).
+
+    ``device_ms``/``e2e_ms`` (the round-4 fields: trace mean / wall min) stay
+    for cross-round comparability.
     """
     import shutil
     import tempfile
@@ -325,14 +358,67 @@ def measure_decision_latency(ctx, variant: str, S: int, n: int = 50) -> dict:
                 out = decide(views, cam_tl)
             np.asarray(out)
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-        from tools.trace_profile import parse_xspace
+        from tools.trace_profile import parse_xspace_events
 
-        module_ps, _, _ = parse_xspace(trace_dir)
-        device_ms = module_ps / 1e9 / n if module_ps else float("nan")
+        module_events, _, _ = parse_xspace_events(trace_dir)
+        # the decide module is the one executed ~n times; other modules in the
+        # trace window (transfers, stray warmup) appear once or twice
+        by_name: dict[str, list[int]] = {}
+        for name, ps in module_events:
+            by_name.setdefault(name, []).append(ps)
+        decide_ps = max(by_name.values(), key=len, default=[])
+        device_s = [ps / 1e12 for ps in decide_ps]
     finally:
         shutil.rmtree(trace_dir, ignore_errors=True)
 
-    return {"device_ms": round(device_ms, 3), "e2e_ms": round(min(e2e) * 1e3, 3)}
+    out = {
+        "n": n,
+        "device_ms": round(float(np.mean(device_s)) * 1e3, 3) if device_s else float("nan"),
+        "e2e_ms": round(min(e2e) * 1e3, 3),
+        "e2e": _tails_ms(e2e),
+    }
+    if device_s:
+        out["device"] = _tails_ms(device_s)
+    return out
+
+
+def measure_decision_cadence(ctx, variant: str, budget_ms: float, n: int = 100) -> dict:
+    """Sustained-cadence check: dispatch one S=1 decision every 250 ms — the
+    cycle period of the reference's 60 fps / 15-frame schedule
+    (sim/config.py ceil(200+40+50 ms -> 15 frames) / 60 fps) — and count
+    decisions whose blocking completion misses the 40 ms ``pred_time`` window
+    (/root/reference/wtracker/sim/simulator.py:173-180 models exactly this
+    deadline). Misses are counted on e2e wall time THROUGH the tunnel, so a
+    co-located deployment strictly beats this number.
+    """
+    period_s = 0.250
+    decide, views, cam_tl = ctx.make_decide(variant, 1)
+    np.asarray(decide(views, cam_tl))  # compile + warm
+
+    lat = []
+    next_tick = time.perf_counter() + period_s
+    for _ in range(n):
+        while True:
+            now = time.perf_counter()
+            if now >= next_tick:
+                break
+            time.sleep(min(0.002, next_tick - now))
+        t0 = time.perf_counter()
+        np.asarray(decide(views, cam_tl))
+        lat.append(time.perf_counter() - t0)
+        next_tick += period_s
+
+    misses = int(sum(1 for t in lat if t * 1e3 > budget_ms))
+    return {
+        "period_ms": 250.0,
+        "n": n,
+        "misses": misses,
+        **_tails_ms(lat),
+        "verdict": (
+            f"{variant} S=1 at the 250 ms cycle cadence: {misses}/{n} decisions "
+            f"missed the {budget_ms:.0f} ms window (e2e through the tunnel)"
+        ),
+    }
 
 
 def _measure() -> None:
@@ -357,6 +443,7 @@ def _measure() -> None:
 
     steps_per_sec, mean_steps_per_sec = measure(ctx.make_ctl("bf16"))
 
+    n_views = ctx.steps // ctx.n_cycles
     result = {
         "metric": "closed-loop sim steps/sec/chip (YOLOv8s@416+ResMLP, every frame detected)",
         "value": round(steps_per_sec, 1),
@@ -365,7 +452,23 @@ def _measure() -> None:
         # min-of-REPEATS is the steady-state number; the mean is reported
         # alongside so the distribution is visible, not just its flattering end
         "mean": round(mean_steps_per_sec, 1),
+        # resolved detect chunking per variant (views/chunk is the HBM-knee
+        # control variable, docs/performance.md) so overrides are auditable
+        "chunks": {
+            "bf16": ctx.cfg.detect_chunks,
+            "int8": ctx.chunks_int8,
+            "views_per_chunk_bf16": n_views // ctx.cfg.detect_chunks,
+            "views_per_chunk_int8": n_views // ctx.chunks_int8,
+        },
     }
+
+    # flagship-gate record: tools/run_gates.py executes the s/416 gates and
+    # writes GATES.json; surface its summary here so every BENCH_r{N}.json
+    # carries the latest committed gate run (pass/fail, timings, commit)
+    gates_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "GATES.json")
+    if os.path.exists(gates_path):
+        with open(gates_path) as f:
+            result["gates"] = json.load(f)
 
     # int8 serving path (same loop, PTQ detector; measured 0.00 px median
     # top-1 drift vs bf16 on rendered views — models/yolov8_int8.py): reported
@@ -384,13 +487,19 @@ def _measure() -> None:
         for variant in ("bf16",) + (("int8",) if "int8" in result else ()):
             for S in (1, 4):
                 lat[f"{variant}_s{S}"] = measure_decision_latency(ctx, variant, S)
-        dev = lat["bf16_s1"]["device_ms"]
-        e2e = lat["bf16_s1"]["e2e_ms"]
-        ok = (dev if np.isfinite(dev) else e2e) <= budget_ms
+            lat[f"{variant}_cadence"] = measure_decision_cadence(ctx, variant, budget_ms)
+        d = lat["bf16_s1"]
+        dev_p95 = d.get("device", {}).get("p95_ms", d["device_ms"])
+        # a deadline verdict is a tail claim: p95/max on-device, plus the
+        # sustained-cadence miss count at the real 250 ms schedule
+        ok = (dev_p95 if np.isfinite(dev_p95) else d["e2e"]["p95_ms"]) <= budget_ms
+        misses = lat["bf16_cadence"]["misses"]
         lat["verdict"] = (
-            f"bf16 S=1 decision {dev:.2f} ms on-device ({e2e:.1f} ms e2e through "
-            f"the tunnel) vs the 40 ms pred_time budget: "
-            + ("WITHIN budget" if ok else "OVER budget")
+            f"bf16 S=1 decision p95 {dev_p95:.2f} ms on-device "
+            f"(max {d.get('device', {}).get('max_ms', float('nan')):.2f} ms; e2e p95 "
+            f"{d['e2e']['p95_ms']:.1f} ms through the tunnel) vs the 40 ms pred_time "
+            f"budget: " + ("WITHIN budget" if ok else "OVER budget")
+            + f"; cadence: {misses} missed windows in {lat['bf16_cadence']['n']} cycles"
         )
         result["latency_ms"] = lat
 

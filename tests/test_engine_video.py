@@ -254,3 +254,137 @@ def test_video_loop_pallas_preproc_matches(video):
     np.testing.assert_allclose(
         np.asarray(a.worm_bboxes), np.asarray(b.worm_bboxes), atol=1e-2, equal_nan=True
     )
+
+
+# ---------------------------------------------------------------------------
+# sharded real-video path (VERDICT r4 item 4)
+# ---------------------------------------------------------------------------
+
+
+def _make_recordings(S, F=128, H=300, W=360):
+    """S synthetic recordings with distinct trajectories."""
+    recs = []
+    for s in range(S):
+        rng = np.random.default_rng(100 + s)
+        traj = make_trajectory(F, (H, W), seed=50 + s, margin=50)
+        bg = rng.integers(20, 40, (H, W), dtype=np.uint8)
+        frames = np.repeat(bg[None], F, axis=0)
+        for i in range(F):
+            x, y = int(traj[i, 0]), int(traj[i, 1])
+            frames[i, max(y - 4, 0) : y + 4, max(x - 6, 0) : x + 6] = 220
+        recs.append(frames)
+    return recs
+
+
+def test_video_sharded_matches_single_stream():
+    """The stream-sharded video loop reproduces S independent single-stream
+    runs, and sharding over a mesh changes nothing vs the same batched program
+    on one device."""
+    from wtracker_tpu.parallel import make_mesh
+    from wtracker_tpu.sim.engine_video import run_video_live_sharded
+
+    S, F = 4, 128
+    recs = _make_recordings(S, F)
+    H, W = recs[0].shape[1:]
+    exp = ExperimentConfig("vid", F, 60, (H, W), 90, (180, 150))
+    timing = TimingConfig(experiment_config=exp, **TIMING_KWARGS)
+    params = EngineParams.from_timing(timing, (H, W))
+
+    model, variables, predictor = _models()
+    cfg = LiveLoopConfig(imgsz=(64, 64), conf=0.0, ring_size=32, log_mode=True, max_dist_per_pred=20.0)
+
+    init_pos = np.tile([180, 150], (S, 1))
+
+    def _src(fr):
+        # exactly two params: run_video_live treats a 3rd param as an `out=`
+        # decode target (FrameReader.read_batch contract)
+        return lambda start, count: fr[start : start + count]
+
+    sources = [_src(fr) for fr in recs]
+
+    mesh = make_mesh(S, axis="streams")
+    sharded = run_video_live_sharded(
+        params, cfg, sources, F, model, variables, predictor, init_pos,
+        cycles_per_chunk=6, mesh=mesh,
+    )
+    n_cycles = params.n_logged_cycles(F)
+    assert np.asarray(sharded.positions).shape == (n_cycles, S, params.cycle_n, 2)
+
+    # 1) sharded == the same batched program on one device (bit-identical)
+    single = run_video_live_sharded(
+        params, cfg, sources, F, model, variables, predictor, init_pos,
+        cycles_per_chunk=6, mesh=None,
+    )
+    np.testing.assert_array_equal(np.asarray(sharded.positions), np.asarray(single.positions))
+    np.testing.assert_array_equal(np.asarray(sharded.worm_bboxes), np.asarray(single.worm_bboxes))
+
+    # 2) each stream == its own single-stream run_video_live (the audited path)
+    for s in range(S):
+        solo = run_video_live(
+            params, cfg, sources[s], F, model, variables, predictor, (180, 150),
+            cycles_per_chunk=6,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sharded.positions)[:, s], np.asarray(solo.positions)
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded.worm_bboxes)[:, s], np.asarray(solo.worm_bboxes),
+            atol=1e-4, equal_nan=True,
+        )
+
+
+def test_video_roi_pathological_fast_worm_bounded_replays():
+    """Adversarial ROI case (VERDICT r4 item 7): a worm sprinting in zigzags
+    at ~6 px/frame with a window only a few px larger than the camera view.
+    The constant-velocity speculation misses at every direction change; the
+    run must still complete, reproduce the full-frame logs EXACTLY, and do so
+    with a bounded number of replays per chunk (no thrashing)."""
+    H, W, F = 300, 360, 256
+    # zigzag sprint: direction flips every 24 frames, 6 px/frame
+    pos = np.empty((F, 2))
+    pos[0] = (80, 80)
+    d = np.array([6.0, 4.5])
+    for i in range(1, F):
+        if i % 24 == 0:
+            d = -d if i % 48 == 0 else np.array([-d[0], d[1]])
+        pos[i] = pos[i - 1] + d
+        for a, lim in ((0, W), (1, H)):
+            if not (40 <= pos[i, a] <= lim - 40):
+                d[a] = -d[a]
+                pos[i, a] = pos[i - 1, a] + d[a]
+    rng = np.random.default_rng(5)
+    frames = np.repeat(rng.integers(20, 40, (H, W), dtype=np.uint8)[None], F, axis=0)
+    for i in range(F):
+        x, y = int(pos[i, 0]), int(pos[i, 1])
+        frames[i, max(y - 4, 0) : y + 4, max(x - 6, 0) : x + 6] = 220
+
+    exp = ExperimentConfig("vid", F, 60, (H, W), 90, (80, 80))
+    timing = TimingConfig(experiment_config=exp, **TIMING_KWARGS)
+    params = EngineParams.from_timing(timing, (H, W))
+
+    model, variables, predictor = _models()
+    cfg = LiveLoopConfig(imgsz=(64, 64), conf=0.0, ring_size=32, log_mode=True, max_dist_per_pred=60.0)
+    source = lambda s, n: frames[s : s + n]
+
+    full = run_video_live(
+        params, cfg, source, F, model, variables, predictor, exp.init_position, cycles_per_chunk=16
+    )
+    stats = {}
+    roi = run_video_live(
+        params, cfg, source, F, model, variables, predictor, exp.init_position,
+        window_source=_window_source(frames),
+        roi_window=(params.cam_h + 4, params.cam_w + 4),  # minimal slack
+        roi_chunk_cycles=4,
+        roi_stats=stats,
+    )
+    np.testing.assert_array_equal(np.asarray(full.positions), np.asarray(roi.positions))
+    np.testing.assert_array_equal(np.asarray(full.worm_bboxes), np.asarray(roi.worm_bboxes))
+    assert stats["replays"] > 0, "the adversarial setup must actually force misses"
+    # bounded recovery, not thrash: each replay verifies at least one more
+    # cycle, so a chunk can never need more than its chunk_cycles·cycle_n+1
+    # scan bound (33 here); in this worst case (direction flips inside a
+    # window with 4 px of slack) recovery advances about a cycle per replay,
+    # i.e. <= 2·chunk_cycles per chunk and ~2 per chunk on average (measured
+    # {'chunks': 8, 'replays': 14, 'max_chunk_replays': 7})
+    assert stats["max_chunk_replays"] <= 2 * 4, stats
+    assert stats["replays"] <= 2 * stats["chunks"], stats

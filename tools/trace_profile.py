@@ -33,6 +33,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def parse_xspace(trace_dir: str):
     """Return (module_ps_total, op_ps: {name: ps}, op_count) from the newest
     xplane dump under ``trace_dir``."""
+    module_events, op_ps, op_n = parse_xspace_events(trace_dir)
+    return sum(ps for _, ps in module_events), op_ps, op_n
+
+
+def parse_xspace_events(trace_dir: str):
+    """Return (module_events: [(module_name, duration_ps)], op_ps, op_count)
+    from the newest xplane dump under ``trace_dir``.
+
+    Each "XLA Modules" event is one module execution on the device, so when a
+    trace covers N identical dispatches the event list IS the per-dispatch
+    device-time distribution — what a tail-latency claim must be made of
+    (a mean hides the slow executions a deadline cares about)."""
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True))
@@ -42,7 +54,7 @@ def parse_xspace(trace_dir: str):
     with open(paths[-1], "rb") as f:
         space.ParseFromString(f.read())
 
-    module_ps = 0
+    module_events: list[tuple[str, int]] = []
     op_ps: dict[str, int] = defaultdict(int)
     op_n: dict[str, int] = defaultdict(int)
     for plane in space.planes:
@@ -56,12 +68,12 @@ def parse_xspace(trace_dir: str):
                 continue
             for ev in line.events:
                 if is_modules:
-                    module_ps += ev.duration_ps
+                    module_events.append((meta.get(ev.metadata_id, str(ev.metadata_id)), ev.duration_ps))
                 else:
                     name = meta.get(ev.metadata_id, str(ev.metadata_id))
                     op_ps[name] += ev.duration_ps
                     op_n[name] += 1
-    return module_ps, dict(op_ps), dict(op_n)
+    return module_events, dict(op_ps), dict(op_n)
 
 
 def main() -> None:

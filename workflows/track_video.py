@@ -134,7 +134,14 @@ def main() -> None:
         roi_stats=roi_stats,
     )
     if roi_stats:
-        print(f"ROI streaming: {roi_stats['chunks']} chunks, {roi_stats['replays']} replays")
+        # replay telemetry: rate ~0 means the speculation holds; a high
+        # max-per-chunk would mean the window is too tight for the worm's
+        # speed (each replay re-reads + re-scans the chunk)
+        rate = roi_stats["replays"] / max(roi_stats["chunks"], 1)
+        print(
+            f"ROI streaming: {roi_stats['chunks']} chunks, {roi_stats['replays']} "
+            f"replays ({rate:.2f}/chunk, worst chunk {roi_stats['max_chunk_replays']})"
+        )
 
     df = logs_to_frame(params, logs)
     create_directory(args.output)

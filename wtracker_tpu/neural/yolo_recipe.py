@@ -15,10 +15,11 @@ Everything here is re-designed for the TPU rather than ported:
   on device, the permutation is an argument, and augmentation runs inside the
   step (no host round trips, no retraces across epochs);
 * spatial augmentation (scale, translate, flips) composes into per-image
-  interpolation *matrices* applied as two batched einsums — the same
-  matmul-form resampling the inference letterbox uses (ops/image.py), so the
-  warp runs on the MXU with static shapes. Out-of-range taps blend toward the
-  ultralytics border constant 114;
+  axis-separable bilinear resamples (two ``take_along_axis`` gathers + lerp
+  per axis, static shapes). Out-of-range taps blend toward the ultralytics
+  border constant 114. (The earlier interpolation-matrix/einsum form was
+  measured slower on device — XLA tiled the thin-channel matmuls T(1,128)
+  and loop-chunked them; see the round-5 trace notes in _axis_resample);
 * mosaic is a fixed 2×2 grid of half-size resizes (static shapes) — the
   random placement ultralytics gets from its random mosaic *center* is
   recovered by the random affine that follows, which jitters scale and
@@ -190,15 +191,32 @@ def load_yolo_dataset(images_dir: str, labels_dir: str, imgsz: int, max_gt: int 
 # ---------------------------------------------------------------------------
 
 
-def _warp_matrix(coords: jnp.ndarray, n: int) -> jnp.ndarray:
-    """(M,) fractional source coordinates → (M, n) bilinear sampling matrix.
+def _axis_resample(images: jnp.ndarray, src: jnp.ndarray, axis: int):
+    """Bilinear resample along one spatial axis; returns (out, weight_sum).
 
-    Triangle weights give exactly the two bilinear taps for in-range
-    coordinates and fade to zero outside, so ``R @ img`` resamples the image
-    and ``1 - R.sum(-1)`` is the border-fill weight.
+    ``src`` is (B, n_out) fractional source coordinates for each output index
+    along ``axis``. The two bilinear taps are gathered with
+    ``take_along_axis``; taps falling outside the axis lose their weight, and
+    ``weight_sum`` (B, n_out) is what remains so the caller can blend the
+    missing mass toward the border constant. Numerically this is the dense
+    interpolation-matrix form (triangle-weight ``R @ img``) — but as two
+    gathers it costs O(B·H·W) memory traffic, where the batched-matmul form
+    got tiled T(1,128)/loop-chunked by XLA and dominated the s/416 train step
+    (round-5 device trace: 359 → 270 → ~170 ms/step across these rewrites).
     """
-    j = jnp.arange(n, dtype=jnp.float32)
-    return jnp.clip(1.0 - jnp.abs(coords[:, None] - j[None, :]), 0.0, 1.0)
+    n = images.shape[axis]
+    i0f = jnp.floor(src)
+    f = src - i0f
+    i0 = i0f.astype(jnp.int32)
+    i1 = i0 + 1
+    w0 = jnp.where((i0 >= 0) & (i0 < n), 1.0 - f, 0.0)
+    w1 = jnp.where((i1 >= 0) & (i1 < n), f, 0.0)
+    shape = [1] * images.ndim
+    shape[0], shape[axis] = src.shape[0], src.shape[1]
+    g0 = jnp.take_along_axis(images, jnp.clip(i0, 0, n - 1).reshape(shape), axis=axis)
+    g1 = jnp.take_along_axis(images, jnp.clip(i1, 0, n - 1).reshape(shape), axis=axis)
+    out = w0.reshape(shape) * g0 + w1.reshape(shape) * g1
+    return out, w0 + w1
 
 
 def _sample_affine(rng, B: int, hw: tuple[int, int], cfg: AugmentConfig):
@@ -222,11 +240,13 @@ def spatial_augment(
 ):
     """Random centered scale + translate + flips on a (B, H, W, C) batch.
 
-    The warp is axis-aligned, so it separates into one row matrix and one
-    column matrix per image, applied as two batched einsums (MXU work, static
-    shapes). Flips fold into the sampling coordinates — the whole spatial
-    chain costs the same two matmuls. Boxes go through the matching forward
-    affine and are clipped; boxes collapsing under ``min_box_px`` are masked.
+    The warp is axis-aligned, so it separates into a row resample and a
+    column resample per image (:func:`_axis_resample`), with flips folded
+    into the sampling coordinates. Out-of-range taps blend toward the
+    ultralytics border constant; sequential per-axis fill composes to the
+    joint ``1 − wy·wx`` border weight exactly. Boxes go through the matching
+    forward affine and are clipped; boxes collapsing under ``min_box_px``
+    are masked.
     """
     B, H, W = images.shape[:3]
     s, tx, ty, flip_x, flip_y = _sample_affine(rng, B, (H, W), cfg)
@@ -240,15 +260,10 @@ def spatial_augment(
     src_y = (ys - cy - ty[:, None]) / s[:, None] + cy  # (B, H)
     src_x = (xs - cx - tx[:, None]) / s[:, None] + cx  # (B, W)
 
-    r_y = jax.vmap(_warp_matrix, in_axes=(0, None))(src_y, H)  # (B, H, H)
-    r_x = jax.vmap(_warp_matrix, in_axes=(0, None))(src_x, W)  # (B, W, W)
-
-    y = jnp.einsum("bij,bjwc->biwc", r_y, images)
-    out = jnp.einsum("bkw,bhwc->bhkc", r_x, y)
-    # border fill: weight lost to out-of-range taps goes to the 114 constant
-    wy = jnp.sum(r_y, axis=-1)  # (B, H)
-    wx = jnp.sum(r_x, axis=-1)  # (B, W)
-    out = out + (1.0 - wy[:, :, None] * wx[:, None, :])[..., None] * BORDER
+    out, wy = _axis_resample(images, src_y, axis=1)
+    out = out + (1.0 - wy).reshape(B, H, *([1] * (images.ndim - 2))) * BORDER
+    out, wx = _axis_resample(out, src_x, axis=2)
+    out = out + (1.0 - wx).reshape(B, 1, W, *([1] * (images.ndim - 3))) * BORDER
 
     # forward affine on the box corners (then flip, then clip)
     def fwd(pts_x, pts_y):
@@ -586,8 +601,15 @@ class YoloTrainingRun:
                 # gather this step's batch from the device-resident dataset —
                 # only one batch is ever materialized beyond the data itself
                 b_images = jnp.take(images, idx, axis=0)
-                if b_images.dtype == jnp.uint8:  # compact gray storage: expand per batch
-                    b_images = jnp.repeat(b_images[..., None], 3, axis=-1).astype(jnp.float32) / 255.0
+                # compact gray storage: run the whole augmentation chain on ONE
+                # channel and broadcast to the model's 3 at the end — the three
+                # channels are identical gray replicas, so this is mathematically
+                # the same batch at a third of the warp/resize cost (the round-5
+                # device trace showed the 3-channel f32 warp transposes dominating
+                # the s/416 train step)
+                expand_after = b_images.dtype == jnp.uint8
+                if expand_after:
+                    b_images = b_images[..., None].astype(jnp.float32) / 255.0  # (B,H,W,1)
                 b_gt = jnp.take(gt, idx, axis=0)
                 b_cls = jnp.take(cls, idx, axis=0)
                 b_mask = jnp.take(mask, idx, axis=0)
@@ -602,6 +624,8 @@ class YoloTrainingRun:
                     b_images, b_gt, b_cls, b_mask = augment_batch(
                         rng, b_images, b_gt, b_cls, b_mask, aug, mosaic_on
                     )
+                if expand_after:
+                    b_images = jnp.broadcast_to(b_images, (*b_images.shape[:3], 3))
 
                 def loss_fn(p):
                     (box_l, cls_l), updates = model.apply(

@@ -87,13 +87,21 @@ def run_engine_sharded(
     axis: str = "streams",
     batched_controller: bool = False,
     delayed_log: bool = False,
-) -> CycleLog:
+    start_cycle: int = 0,
+    carry: tuple | None = None,
+    return_carry: bool = False,
+):
     """Run the stream-batched engine with streams sharded across the mesh.
 
     Per-stream state (leading axis S) shards over ``axis``; everything closed
     over by the controller (model weights, scene constants) is replicated by
     XLA.  The scan compiles to one SPMD program with no cross-chip
     communication in the cycle loop.
+
+    ``start_cycle``/``carry``/``return_carry`` mirror
+    :func:`wtracker_tpu.sim.engine.run_engine` — chunked hosts (the sharded
+    real-video path) resume the scan across chunk boundaries from the
+    returned carry.
 
     Contract: S must be a multiple of the mesh size — sharding is a physical
     layout, and an uneven split would silently pad device buffers while the
@@ -127,13 +135,28 @@ def run_engine_sharded(
         return jax.device_put(leaf, replicated(mesh))
 
     with mesh:
-        init = jax.device_put(np.asarray(init_positions, dtype=np.int32), shard)
         consts = jax.tree.map(_put_const, controller.consts)
-        state0 = jax.tree.map(lambda x: jax.device_put(x, shard), controller.init())
-        logs = run(consts, init, state0, jnp.arange(n_cycles + (1 if delayed_log else 0), dtype=jnp.int32))
+        if carry is None:
+            init = np.asarray(init_positions, dtype=np.int32)
+            if _has_stream_bounds(controller):
+                pos0 = np.clip(init, 0, np.asarray(controller.consts["stream_bounds"]) - 1)
+            else:
+                pos0 = np.asarray(_clamp(jnp.asarray(init), params))
+            prev0 = np.broadcast_to(pos0[:, None, :], (n_streams, params.cycle_n, 2))
+            carry = (
+                jnp.asarray(pos0, jnp.int32),
+                jnp.asarray(prev0, jnp.int32),
+                controller.init(),
+            )
+        # per-stream carry leaves shard; scalar bookkeeping (if any) replicates
+        carry = jax.tree.map(_put_const, carry)
+        cycles = jnp.arange(
+            start_cycle, start_cycle + n_cycles + (1 if delayed_log else 0), dtype=jnp.int32
+        )
+        final_carry, logs = run(consts, carry, cycles)
         if delayed_log:
             logs = jax.tree.map(lambda x: x[1:], logs)
-        return logs
+        return (logs, final_carry) if return_carry else logs
 
 
 _SHARDED_CACHE: dict = {}
@@ -152,28 +175,27 @@ def _sharded_runner(params, controller, mesh: Mesh, axis: str, batched_controlle
         else:
             batched = jax.vmap(make_cycle_step(params, controller), in_axes=(None, (0, 0, 0), None))
 
-        clamp_streamwise = _has_stream_bounds(controller)
-
         @jax.jit
-        def run(consts, init_pos, state0, cycles):
-            init = jnp.asarray(init_pos, dtype=jnp.int32)
-            if clamp_streamwise:
-                pos0 = jnp.clip(init, 0, jnp.asarray(consts["stream_bounds"], jnp.int32) - 1)
-            else:
-                pos0 = _clamp(init, params)
-            pos0 = jax.lax.with_sharding_constraint(pos0, shard)
-            s = pos0.shape[0]
-            prev0 = jnp.broadcast_to(pos0[:, None, :], (s, params.cycle_n, 2)).astype(jnp.int32)
-            carry0 = (pos0, prev0, state0)
+        def run(consts, carry0, cycles):
+            S = carry0[0].shape[0]
+
+            def cons(x):
+                # stream-axis leaves pin to the stream sharding; anything else
+                # (scalar bookkeeping) is left for the partitioner
+                if getattr(x, "ndim", 0) >= 1 and x.shape[0] == S:
+                    return jax.lax.with_sharding_constraint(x, shard)
+                return x
+
+            carry0 = jax.tree.map(cons, carry0)
 
             def shard_step(carry, c):
                 cs, inner = carry
                 inner, out = batched(cs, inner, c)
-                inner = jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, shard), inner)
+                inner = jax.tree.map(cons, inner)
                 return (cs, inner), out
 
-            _, logs = jax.lax.scan(shard_step, (consts, carry0), cycles)
-            return logs
+            (_, final), logs = jax.lax.scan(shard_step, (consts, carry0), cycles)
+            return final, logs
 
         _SHARDED_CACHE[key] = run
     return _SHARDED_CACHE[key]

@@ -403,6 +403,258 @@ def run_video_live(
     return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *logs_parts)
 
 
+def video_stream_controller(
+    params: EngineParams,
+    config: LiveLoopConfig,
+    detector_model: YoloV8,
+    detector_variables: dict,
+    predictor,
+    chunk_shape: tuple[int, int, int, int],
+    detect_fn=None,
+) -> CycleController:
+    """Stream-batched live controller over S resident recording chunks.
+
+    The multi-chip form of :func:`video_live_controller`: ``consts["frames"]``
+    is (S, C, H, W) — one chunk per recording — and decide/predict_all own the
+    stream axis (for ``run_engine_streams(..., batched_controller=True)`` /
+    :func:`wtracker_tpu.parallel.run_engine_sharded`), so each cycle's crops
+    form one flat (S·n, cam_h, cam_w) detector batch and the stream axis
+    shards across the mesh with zero collectives in the scan (frames, rings
+    and positions are all per-stream).
+
+    This is how a pod eats the reference's hours-long per-recording workload
+    (/root/reference/workflows/initialize_experiment.ipynb cell 11): S
+    recordings tracked simultaneously, each chip holding S/n_devices streams'
+    chunks.  ROI streaming and the Pallas preprocessing fusion are host-side /
+    single-chip IO optimizations orthogonal to this axis and are not applied
+    here (full-frame chunks shard).
+    """
+    R = config.ring_size
+    L = params.cycle_n
+    IM, MV = params.imaging_n, params.moving_n
+    io = predictor.io_config
+    input_frames = jnp.asarray(io.input_frames, dtype=jnp.int32)
+    mlp_model = predictor.model
+
+    cam_half = jnp.array([params.cam_w // 2, params.cam_h // 2], dtype=jnp.int32)
+    view_hw = (params.cam_h, params.cam_w)
+    S, C, H, W = chunk_shape
+
+    _detect = _resolve_detect(detect_fn, config, detector_model, detector_variables, view_hw)
+
+    consts = {
+        "det": detector_variables,
+        "mlp": predictor.variables,
+        "frames": jnp.zeros((S, C, H, W), jnp.uint8),
+        "frame0": jnp.int32(0),
+    }
+
+    def _detect_views(consts, views):
+        n = views.shape[0]
+        k = config.detect_chunks
+        if k <= 1 or n % k:
+            return _detect(detector_model, consts["det"], views, config.imgsz, config.conf)
+        m = n // k
+        out = jax.lax.map(
+            lambda v: _detect(detector_model, consts["det"], v, config.imgsz, config.conf),
+            views.reshape(k, m, *views.shape[1:]),
+        )
+        return out.reshape(n, 4)
+
+    def crop_and_detect(consts, frame_idx, cam_tls):
+        """frame_idx (N,) absolute (shared across streams); cam_tls (S·N, 2)
+        arena coords → (S·N, 4) absolute boxes."""
+        local = jnp.clip(frame_idx - consts["frame0"], 0, C - 1)  # (N,)
+        frames = jnp.take(consts["frames"], local, axis=1)  # (S, N, H, W)
+        flat = frames.reshape(S * local.shape[0], H, W)
+        tls = jnp.stack(
+            [
+                jnp.clip(cam_tls[:, 0], 0, W - params.cam_w),
+                jnp.clip(cam_tls[:, 1], 0, H - params.cam_h),
+            ],
+            axis=1,
+        )
+        views = crop_views(flat, tls, view_hw)
+        boxes = _detect_views(consts, views)
+        return boxes.at[:, :2].add(tls.astype(boxes.dtype))
+
+    def init():
+        return {
+            "ring": jnp.full((S, R, 4), jnp.nan, dtype=jnp.float32),
+            "stash": jnp.full((S, IM, 4), jnp.nan, dtype=jnp.float32),
+        }
+
+    def decide(consts, state, ctx: DecideCtx):
+        from wtracker_tpu.sim.engine_live import _batched_move_from_history
+
+        idx = ctx.cycle * L + jnp.arange(IM)  # (IM,)
+        cam_tl = ctx.position - cam_half  # (S, 2)
+        cam_tls = jnp.repeat(cam_tl, IM, axis=0)  # (S·IM, 2)
+
+        boxes = crop_and_detect(consts, idx, cam_tls).reshape(S, IM, 4)
+        ring = state["ring"].at[:, idx % R, :].set(boxes)
+
+        kickoff = ctx.cycle * L + IM - params.pred_n
+        f_in = kickoff + input_frames
+        feats_abs = jnp.where((f_in >= 0)[None, :, None], ring[:, f_in % R, :], jnp.nan)
+
+        cam_center = cam_tl.astype(jnp.float32) + jnp.array(
+            [params.cam_w / 2, params.cam_h / 2], jnp.float32
+        )
+        dxdy = _batched_move_from_history(
+            mlp_model, consts["mlp"], feats_abs, ring[:, kickoff % R, :],
+            cam_center, config.max_dist_per_pred,
+        )
+        return {"ring": ring, "stash": boxes}, dxdy
+
+    def predict_all(consts, state, cycle_idx, positions):
+        imaging = state["stash"].astype(jnp.float64)
+        if not config.log_mode:
+            moving = jnp.full((S, MV, 4), jnp.nan, dtype=jnp.float64)
+        else:
+            idx = cycle_idx * L + IM + jnp.arange(MV)
+            cam_tls = (positions[:, IM:, :] - cam_half).reshape(S * MV, 2)
+            moving = crop_and_detect(consts, idx, cam_tls).reshape(S, MV, 4).astype(jnp.float64)
+        return jnp.concatenate([imaging, moving], axis=1)
+
+    return CycleController(
+        init=init,
+        decide=decide,
+        predict_all=predict_all,
+        consts=consts,
+        cache_key=(
+            "video-streams", detect_fn, tuple(chunk_shape), config,
+            repr(detector_model), repr(mlp_model), tuple(io.input_frames),
+        ),
+    )
+
+
+def run_video_live_sharded(
+    params: EngineParams,
+    config: LiveLoopConfig,
+    frame_sources: list,
+    num_frames: int,
+    detector_model: YoloV8,
+    detector_variables: dict,
+    predictor,
+    init_positions,
+    cycles_per_chunk: int = 64,
+    mesh=None,
+    detect_fn=None,
+) -> CycleLog:
+    """Track S recordings simultaneously, streams sharded across a mesh.
+
+    Args:
+        frame_sources: S callables ``(start_frame, count) -> (count, H, W)
+            uint8`` — one per recording (all the same geometry/length).
+        init_positions: (S, 2) initial platform centers.
+        mesh: a 1-D ``jax.sharding.Mesh`` (axis "streams"); ``None`` runs the
+            same batched program unsharded (single device).
+
+    The host walks chunks exactly like :func:`run_video_live` — prefetch the
+    next chunk (all S streams) while the device scans the current one, resume
+    the scan from the returned carry — but the resident chunk is (S, C, H, W)
+    and the scan is the stream-sharded SPMD program.  Logs come back with
+    leading axes ``(n_cycles, S, cycle_n)``.
+    """
+    import threading
+
+    from wtracker_tpu.sim.engine import run_engine_streams
+
+    S = len(frame_sources)
+    if np.asarray(init_positions).shape != (S, 2):
+        raise ValueError(f"init_positions must be ({S}, 2)")
+    L = params.cycle_n
+    n_cycles = params.n_logged_cycles(num_frames)
+    chunk_frames = cycles_per_chunk * L
+
+    probe = frame_sources[0](0, 1)
+    H, W = probe.shape[1:3]
+    controller = video_stream_controller(
+        params, config, detector_model, detector_variables, predictor,
+        (S, chunk_frames, H, W), detect_fn=detect_fn,
+    )
+
+    bufs = [
+        _scratch_buffer(("video-sharded", i, S, chunk_frames, H, W), (S, chunk_frames, H, W))
+        for i in range(2)
+    ]
+
+    def _fetch(start: int, count: int, buf: np.ndarray) -> np.ndarray:
+        for s, src in enumerate(frame_sources):
+            buf[s, :count] = src(start, count)
+        if count < chunk_frames:
+            buf[:, count:] = 0
+        return buf
+
+    pending: dict = {}
+
+    def _prefetch(start: int, count: int, slot: int) -> threading.Thread:
+        def worker():
+            try:
+                pending["frames"] = _fetch(start, count, bufs[slot])
+            except BaseException as e:
+                pending["error"] = e
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        return t
+
+    thread = _prefetch(0, min(chunk_frames, num_frames), 0)
+
+    init_pos = np.asarray(init_positions, dtype=np.int32)
+    carry = None
+    logs_parts = []
+    for i, start_cycle in enumerate(range(0, n_cycles, cycles_per_chunk)):
+        n = min(cycles_per_chunk, n_cycles - start_cycle)
+        thread.join()
+        if "error" in pending:
+            raise pending["error"]
+        frames = pending.pop("frames")
+
+        nxt = (start_cycle + cycles_per_chunk) * L
+        if nxt < n_cycles * L:
+            thread = _prefetch(nxt, min(chunk_frames, num_frames - nxt), (i + 1) % 2)
+
+        ctl = controller._replace(
+            consts={
+                **controller.consts,
+                "frames": jnp.asarray(frames),
+                "frame0": jnp.int32(start_cycle * L),
+            }
+        )
+        if mesh is not None:
+            from wtracker_tpu.parallel import run_engine_sharded
+
+            logs, carry = run_engine_sharded(
+                params, ctl, init_pos, n, mesh=mesh, batched_controller=True,
+                start_cycle=start_cycle, carry=carry, return_carry=True,
+            )
+        else:
+            if carry is None:
+                logs, carry = _sharded_fallback_run(params, ctl, init_pos, n, start_cycle, None)
+            else:
+                logs, carry = _sharded_fallback_run(params, ctl, init_pos, n, start_cycle, carry)
+        logs_parts.append(logs)
+
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *logs_parts)
+
+
+def _sharded_fallback_run(params, ctl, init_pos, n, start_cycle, carry):
+    """Single-device run of the batched video controller with carry resume
+    (the mesh=None path of :func:`run_video_live_sharded`)."""
+    from wtracker_tpu.sim.engine import _stream_runner, _clamp
+
+    run = _stream_runner(params, ctl, batched_controller=True, delayed_log=False)
+    if carry is None:
+        pos0 = _clamp(jnp.asarray(init_pos, jnp.int32), params)
+        prev0 = jnp.broadcast_to(pos0[:, None, :], (pos0.shape[0], params.cycle_n, 2)).astype(jnp.int32)
+        carry = (pos0, prev0, ctl.init())
+    cycles = jnp.arange(start_cycle, start_cycle + n, dtype=jnp.int32)
+    final, logs = run(ctl.consts, carry, cycles)
+    return logs, final
+
+
 def _run_video_live_roi(
     params: EngineParams,
     config: LiveLoopConfig,
@@ -553,7 +805,7 @@ def _run_video_live_roi(
             params, ctl, init_position, n, start_cycle=c0, carry=carry0, return_carry=True
         )
 
-    stats = {"chunks": 0, "replays": 0}
+    stats = {"chunks": 0, "replays": 0, "max_chunk_replays": 0}
 
     def _verify(ch: dict) -> bool:
         """Block on the chunk's scan, replay until every crop was in-window.
@@ -563,9 +815,14 @@ def _run_video_live_roi(
         that produced the failing row's position was decided on earlier,
         in-window crops), verified cycles get exactly-centered windows, and a
         centered window always contains its crop.  So the first-miss index
-        strictly increases and the loop terminates.
+        strictly increases and the loop terminates — and in practice each
+        replay verifies a whole prefix, so even adversarial trajectories
+        (fast worm + minimal window slack) settle in a couple of replays per
+        chunk (``max_chunk_replays`` telemetry + the pathological test in
+        tests/test_engine_video.py pin this).
         """
         c0, n = ch["c0"], ch["n"]
+        chunk_replays = 0
         replayed = False
         for _ in range(n * L + 1):
             pos = np.asarray(ch["logs"].positions)  # (n, L, 2) — forces the scan
@@ -574,6 +831,7 @@ def _run_video_live_roi(
                 break
             replayed = True
             stats["replays"] += 1
+            chunk_replays += 1
             j, row = miss
             # positions are true through cycle j's imaging rows always, and
             # through ALL of cycle j when the miss was only in a moving-phase
@@ -593,6 +851,7 @@ def _run_video_live_roi(
             ch.update(wtl=new, logs=logs, carry1=carry1)
         else:  # pragma: no cover — unreachable, see progress argument above
             raise RuntimeError("ROI window recovery did not converge")
+        stats["max_chunk_replays"] = max(stats["max_chunk_replays"], chunk_replays)
         known[c0 : c0 + n] = np.asarray(ch["logs"].positions)
         return replayed
 
