@@ -154,8 +154,8 @@ def build_flagship(S: int | None = None, n_cycles: int | None = None, chunks: in
     _ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)), "models", "yolov8s_worm416.npz")
     _use_trained = os.path.exists(_ckpt) and os.environ.get("BENCH_WEIGHTS", "trained") != "random"
     if _use_trained:
-        _raw = YoloV8Detector.load(_ckpt)
-        assert _raw.model.scale == "s" and tuple(_raw.imgsz) == (416, 416)
+        _raw = YoloV8Detector.load(_ckpt, imgsz=(416, 416))
+        assert _raw.model.scale == "s"
     else:
         _raw = YoloV8Detector.init_random(nc=1, scale="s", imgsz=(416, 416), compute_dtype=jnp.bfloat16, seed=0)
     det_model = YoloV8(nc=1, scale="s", compute_dtype=jnp.bfloat16, fused=True)
