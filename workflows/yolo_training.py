@@ -41,6 +41,14 @@ def main() -> None:
     ap.add_argument("--no-augment", action="store_true", help="disable all augmentation")
     ap.add_argument("--ckpt-dir", help="per-epoch best/last checkpoints (default: alongside --output)")
     ap.add_argument(
+        "--ckpt-every",
+        type=int,
+        default=1,
+        help="write last/train-state checkpoints every N epochs (full-state "
+        "writes fetch ~300 MB from device; N>1 trades crash-replay epochs "
+        "for wall time)",
+    )
+    ap.add_argument(
         "--resume",
         action="store_true",
         help="continue an interrupted run from the full train state in --ckpt-dir "
@@ -103,6 +111,7 @@ def main() -> None:
         patience=args.patience,
         close_mosaic=args.close_mosaic,
         val_fraction=args.val_fraction,
+        ckpt_every=args.ckpt_every,
         augment=aug,
         seed=args.seed,
     )
