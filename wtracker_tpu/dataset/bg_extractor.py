@@ -45,10 +45,29 @@ class BGExtractor:
         ):
             probes[i] = self.reader[int(frame_id)]
 
+        import jax
         import jax.numpy as jnp
 
+        # The reduction is per-pixel independent, so run it in row bands: a
+        # full probe stack at reference geometry (1000 × 1400 × 1600) is
+        # ~9 GB as f32 and the device median sorts it (~2-3× temps) — one
+        # jnp.median over the whole stack OOMs a 16 GB chip. Band height is
+        # sized so stack+sort temps stay ~1 GB; one compile serves all bands
+        # (the last band is padded by clamping, then trimmed).
+        frame_shape = probes.shape[1:]
+        n, h = probes.shape[0], probes.shape[1]
+        flat = probes.reshape(n, h, -1)  # channels fold into the row axis
+        w = flat.shape[2]
+        band = max(1, min(h, int(64 * 1024 * 1024 / max(n * w, 1))))
+
         if method == "median":
-            bg = jnp.median(jnp.asarray(probes), axis=0)
+            reduce_band = jax.jit(lambda x: jnp.median(x, axis=0))
         else:
-            bg = jnp.mean(jnp.asarray(probes, dtype=jnp.float64), axis=0)
-        return np.asarray(bg).astype(np.uint8, copy=False)
+            reduce_band = jax.jit(lambda x: jnp.mean(x.astype(jnp.float64), axis=0))
+
+        bg = np.empty((h, w), dtype=np.float64)
+        for y0 in range(0, h, band):
+            y1 = min(y0 + band, h)
+            src = flat[:, y1 - band : y1, :]  # fixed shape: one compile
+            bg[y0:y1] = np.asarray(reduce_band(jnp.asarray(src)))[band - (y1 - y0) :]
+        return bg.reshape(frame_shape).astype(np.uint8, copy=False)
