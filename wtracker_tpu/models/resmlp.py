@@ -253,10 +253,20 @@ def load_torch_checkpoint(path: str, reference_root: str | None = None) -> WormP
         reference_root: directory containing the original ``wtracker`` package,
             needed to unpickle the module classes (read-only).
     """
+    import os
     import sys
 
     import torch
 
+    if reference_root is None:
+        # whole-module pickles reference the upstream ``wtracker`` package;
+        # find it next to the checkpoint (e.g. <root>/models/x.pt -> <root>)
+        parent = os.path.dirname(os.path.abspath(path))
+        while parent != os.path.dirname(parent):
+            if os.path.isdir(os.path.join(parent, "wtracker", "neural")):
+                reference_root = parent
+                break
+            parent = os.path.dirname(parent)
     if reference_root and reference_root not in sys.path:
         sys.path.insert(0, reference_root)
 
